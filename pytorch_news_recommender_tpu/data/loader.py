@@ -1,0 +1,120 @@
+"""Runtime batching: id-only batches, bucketed ragged eval.
+
+TPU-first replacements for the reference's ``DataLoader(num_workers=6)`` over
+a per-sample ``__getitem__`` (``MIND_2020/run_v0.py:70-75``,
+``data_handler.py:185-250``):
+
+* Train batches are pure numpy slices of the pre-packed ``[n, H]`` / ``[n, S]``
+  id arrays — the expensive gathers (title words, embeddings) happen on device
+  inside the jitted step.
+* Eval impressions are bucketed by candidate count and padded only to the
+  bucket size, instead of padding every impression to 300
+  (``data_handler.py:177,200-234``). Each bucket is a distinct static shape,
+  so XLA compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from pytorch_news_recommender_tpu.data.dataset import DevData, TrainData
+
+Batch = Dict[str, np.ndarray]
+
+
+def train_batches(
+    data: TrainData,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    drop_remainder: bool = True,
+) -> Iterator[Batch]:
+    """Shuffled fixed-shape training batches.
+
+    With ``drop_remainder`` the trailing partial batch is dropped (static
+    shapes keep XLA from recompiling); an epoch therefore covers
+    ``len(data) // batch_size * batch_size`` samples in shuffled order.
+    """
+    n = len(data)
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    n_full = n - (n % batch_size) if drop_remainder else n
+    for s in range(0, n_full, batch_size):
+        idx = order[s:s + batch_size]
+        yield {
+            "browsed_ids": data.browsed_ids[idx],
+            "candidate_ids": data.candidate_ids[idx],
+        }
+
+
+@dataclasses.dataclass
+class EvalBatch:
+    """One padded eval batch plus bookkeeping to scatter scores back."""
+
+    batch: Batch                 # browsed_ids [b, H], candidate_ids [b, C]
+    impression_ids: np.ndarray   # [b] row indices into the DevData
+    n_candidates: np.ndarray     # [b] true candidate counts (<= C)
+
+
+def pick_bucket(count: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if count <= b:
+            return b
+    return buckets[-1]
+
+
+def eval_batches(
+    data: DevData,
+    batch_size: int,
+    buckets: Sequence[int],
+    max_impressions: Optional[int] = None,
+) -> Iterator[EvalBatch]:
+    """Bucket impressions by candidate count, pad to bucket width, batch.
+
+    Candidate lists longer than the largest bucket are truncated to it (the
+    reference caps at ``max_candidate_size=300`` the same way,
+    ``data_handler.py:177``).
+    """
+    buckets = sorted(buckets)
+    m = len(data)
+    if max_impressions is not None:
+        m = min(m, max_impressions)
+    counts = data.candidate_counts[:m]
+    bucket_of = np.asarray([pick_bucket(int(c), buckets) for c in counts])
+
+    for width in buckets:
+        rows = np.where(bucket_of == width)[0]
+        if rows.size == 0:
+            continue
+        for s in range(0, rows.size, batch_size):
+            idx = rows[s:s + batch_size]
+            b = idx.size
+            cand = np.zeros((b, width), dtype=np.int32)
+            ncand = np.minimum(counts[idx], width).astype(np.int32)
+            for j, i in enumerate(idx):
+                c_ids, _ = data.impression(int(i))
+                cand[j, : ncand[j]] = c_ids[: ncand[j]]
+            yield EvalBatch(
+                batch={
+                    "browsed_ids": data.browsed_ids[idx],
+                    "candidate_ids": cand,
+                },
+                impression_ids=idx,
+                n_candidates=ncand,
+            )
+
+
+def pad_batch(batch: Batch, to_size: int) -> tuple[Batch, int]:
+    """Pad the leading axis to ``to_size`` (repeating row 0); returns the
+    padded batch and the original size. Keeps eval shapes static for the
+    final partial batch of each bucket."""
+    b = next(iter(batch.values())).shape[0]
+    if b == to_size:
+        return batch, b
+    pad = to_size - b
+    out = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+           for k, v in batch.items()}
+    return out, b

@@ -1,0 +1,197 @@
+"""Flax modules for the NRMS-family towers.
+
+Thin parameter-holding wrappers over the pure ops in ``ops/attention.py`` (and
+the fused Pallas path in ``ops/pallas`` when enabled). Semantics mirror the
+reference building blocks:
+
+* ``MultiHeadSelfAttention`` — reference ``MIND_2020/model/nrms_v1.py:41-80``
+  (Xavier-uniform init, output projection, per-head 1/sqrt(d_k) scaling).
+* ``AdditiveAttention``      — reference ``nrms_v1.py:83-105``
+  (learned query ~ U(-0.1, 0.1)).
+* ``NewsEncoder``            — reference ``nrms_v1.py:109-197``:
+  word-embedding lookup -> dropout -> MHSA -> dropout -> additive pooling,
+  but fully batched over an arbitrary leading news axis (the reference loops
+  in Python over history/candidates, ``nrms_v1.py:263-268``).
+* ``UserEncoder``            — reference ``nrms_v1.py:200-211`` /
+  ``nrms.py:258-272`` (mask-aware): MHSA over clicked-news vectors +
+  additive pooling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pytorch_news_recommender_tpu.ops import attention as A
+
+
+def _dtype(name: str):
+    return jnp.dtype(name)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention with fused QKV projection and output projection."""
+
+    num_heads: int
+    model_dim: int
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        D = self.model_dim
+        assert D % self.num_heads == 0, (D, self.num_heads)
+        wqkv = self.param("wqkv", nn.initializers.xavier_uniform(), (D, 3 * D))
+        bqkv = self.param("bqkv", nn.initializers.zeros, (3 * D,))
+        wo = self.param("wo", nn.initializers.xavier_uniform(), (D, D))
+        bo = self.param("bo", nn.initializers.zeros, (D,))
+        cd = _dtype(self.compute_dtype)
+        out = A.multi_head_self_attention(
+            x.astype(cd), wqkv.astype(cd), bqkv.astype(cd),
+            wo.astype(cd), bo.astype(cd), self.num_heads, mask,
+        )
+        return out
+
+
+class AdditiveAttention(nn.Module):
+    """``softmax(tanh(xW + b) @ q)``-weighted pooling over the sequence axis."""
+
+    query_dim: int
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        D = x.shape[-1]
+        w = self.param("w", nn.initializers.xavier_uniform(), (D, self.query_dim))
+        b = self.param("b", nn.initializers.zeros, (self.query_dim,))
+        query = self.param(
+            "query", nn.initializers.uniform(scale=0.2), (self.query_dim,)
+        )
+        # uniform(scale) is U(0, scale); shift to U(-0.1, 0.1) like the
+        # reference's .uniform_(-0.1, 0.1) (nrms_v1.py:89).
+        cd = _dtype(self.compute_dtype)
+        return A.additive_attention(
+            x.astype(cd), w.astype(cd), b.astype(cd),
+            (query - 0.1).astype(cd), mask,
+        )
+
+
+class WordEmbedding(nn.Module):
+    """Trainable word-embedding table, row 0 = padding.
+
+    Initialized from a pretrained matrix (GloVe) when provided via
+    ``pretrained``; otherwise ~N(0, 1) with a zero pad row, matching the
+    reference artifact layout (``data_processor.py:67-97``). Pad positions are
+    zeroed via the mask product instead of torch's ``padding_idx`` machinery.
+    """
+
+    n_words: int
+    embed_size: int
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, ids: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        def init(key, shape, dtype=jnp.float32):
+            emb = jax.random.normal(key, shape, dtype)
+            return emb.at[0].set(0.0)
+
+        table = self.param("embedding", init, (self.n_words, self.embed_size))
+        out = jnp.take(table, ids, axis=0).astype(_dtype(self.compute_dtype))
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
+
+
+class NewsEncoder(nn.Module):
+    """Word-level news tower: embed -> dropout -> MHSA -> dropout -> pool.
+
+    Operates on ``ids: [..., L]`` with any leading shape — history and
+    candidate news for a whole batch are encoded in ONE call.
+    """
+
+    n_words: int
+    word_embed_size: int
+    num_heads: int
+    query_dim: int
+    dropout: float = 0.2
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
+        mask = (ids != 0).astype(jnp.float32)
+        x = WordEmbedding(self.n_words, self.word_embed_size,
+                          self.compute_dtype, name="word_embedding")(ids, mask)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = MultiHeadSelfAttention(
+            self.num_heads, self.word_embed_size, self.compute_dtype,
+            self.use_pallas, name="mhsa")(x, mask)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return AdditiveAttention(self.query_dim, self.compute_dtype,
+                                 name="pool")(x, mask)
+
+
+class UserEncoder(nn.Module):
+    """User tower: MHSA over the encoded clicked-news sequence + pooling."""
+
+    model_dim: int
+    num_heads: int
+    query_dim: int
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        news_vecs: jax.Array,            # [B, H, D]
+        mask: Optional[jax.Array] = None,  # [B, H]
+    ) -> jax.Array:
+        x = MultiHeadSelfAttention(
+            self.num_heads, self.model_dim, self.compute_dtype,
+            self.use_pallas, name="mhsa")(news_vecs, mask)
+        return AdditiveAttention(self.query_dim, self.compute_dtype,
+                                 name="pool")(x, mask)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """GELU FFN with residual + LayerNorm (reference
+    ``model/list_rank.py:100-128``)."""
+
+    hidden_dim: int
+    dropout: float = 0.2
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        D = x.shape[-1]
+        cd = _dtype(self.compute_dtype)
+        h = nn.Dense(self.hidden_dim, dtype=cd, name="fc1")(x)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(D, dtype=cd, name="fc2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(dtype=cd, name="norm")(x + h)
+
+
+class TransformerEncoderBlock(nn.Module):
+    """MHSA + FFN block used by the listwise re-ranker
+    (reference ``model/list_rank.py:210-220``)."""
+
+    num_heads: int
+    model_dim: int
+    ff_dim: int
+    dropout: float = 0.2
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        h = MultiHeadSelfAttention(self.num_heads, self.model_dim,
+                                   self.compute_dtype, name="mhsa")(x, mask)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        x = nn.LayerNorm(dtype=_dtype(self.compute_dtype), name="norm")(x + h)
+        return PositionwiseFeedForward(self.ff_dim, self.dropout,
+                                       self.compute_dtype, name="ffn")(
+            x, deterministic=deterministic)

@@ -1,0 +1,77 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh: sharded init,
+sharded train step, and equivalence of data-parallel vs single-device math."""
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from pytorch_news_recommender_tpu.config import MeshConfig
+from pytorch_news_recommender_tpu.parallel.mesh import (
+    make_mesh,
+    param_shardings,
+)
+from pytorch_news_recommender_tpu.train.loop import Trainer
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(MeshConfig(model_parallel_size=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(MeshConfig())
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_param_shardings_rules():
+    mesh = make_mesh(MeshConfig(model_parallel_size=2))
+    params = {
+        "news_encoder": {"word_embedding": {"embedding": np.zeros((600, 64))}},
+        "dense": {"kernel": np.zeros((64, 64))},
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["news_encoder"]["word_embedding"]["embedding"].spec == P("model", None)
+    assert sh["dense"]["kernel"].spec == P()
+
+
+def test_param_shardings_uneven_falls_back():
+    mesh = make_mesh(MeshConfig(model_parallel_size=2))
+    params = {"word_embedding": {"embedding": np.zeros((601, 64))}}
+    sh = param_shardings(params, mesh)
+    assert sh["word_embedding"]["embedding"].spec == P()
+
+
+def test_sharded_train_step_runs(cfg, dataset):
+    mesh = make_mesh(MeshConfig(model_parallel_size=2))
+    trainer = Trainer(cfg, dataset, mesh=mesh)
+    state = trainer.init_state(seed=0)
+    # Embedding table is actually sharded over the model axis.
+    emb = state.params["news_encoder"]["word_embedding"]["embedding"]
+    assert emb.sharding.spec == P("model", None)
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+    rng = jax.random.PRNGKey(0)
+    batch = next(train_batches(dataset.train, 32, np.random.default_rng(0)))
+    state, m = trainer.run_step(state, batch, rng)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_data_parallel_matches_single_device(cfg, dataset):
+    """Same seed, same batch: 8-way DP step must equal 1-device step."""
+    mesh8 = make_mesh(MeshConfig(), devices=jax.devices())
+    mesh1 = make_mesh(MeshConfig(), devices=jax.devices()[:1])
+    t8 = Trainer(cfg, dataset, mesh=mesh8)
+    t1 = Trainer(cfg, dataset, mesh=mesh1)
+    s8 = t8.init_state(seed=0)
+    s1 = t1.init_state(seed=0)
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+    batch = next(train_batches(dataset.train, 32, np.random.default_rng(1)))
+    rng = jax.random.PRNGKey(3)
+    s8, m8 = t8.run_step(s8, batch, rng)
+    s1, m1 = t1.run_step(s1, batch, rng)
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -1,0 +1,48 @@
+"""End-to-end training tests on the synthetic dataset: the jitted sharded
+train step runs, loss falls, and dev AUC beats chance — the working
+equivalent of the reference's demo smoke run (``run_demo.py:20-61``)."""
+
+import jax
+import numpy as np
+
+from pytorch_news_recommender_tpu.train.loop import Trainer
+
+
+def test_train_step_runs_and_improves(cfg, dataset):
+    trainer = Trainer(cfg, dataset)
+    state = trainer.init_state(seed=0)
+    rng = jax.random.PRNGKey(0)
+    shuffle = np.random.default_rng(0)
+
+    losses = []
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+    for epoch in range(6):
+        for batch in train_batches(dataset.train, cfg.train.batch_size, shuffle):
+            state, m = trainer.run_step(state, batch, rng)
+            losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    # Loss should drop substantially on planted-structure data.
+    assert np.mean(losses[-8:]) < np.mean(losses[:8]) - 0.1
+
+
+def test_eval_beats_chance_after_training(cfg, dataset):
+    trainer = Trainer(cfg, dataset)
+    state = trainer.init_state(seed=0)
+    before = trainer.evaluate(state)
+    assert 0.3 < before["auc"] < 0.7  # untrained ≈ chance
+    state, history = trainer.fit(state=state, num_epochs=6)
+    after = trainer.evaluate(state)
+    assert after["auc"] > 0.8, after
+    assert after["ndcg@10"] > before["ndcg@10"]
+    assert after["n_impressions"] == len(dataset.dev)
+
+
+def test_fit_history_and_checkpoint_cb(cfg, dataset):
+    trainer = Trainer(cfg, dataset)
+    saved = []
+    state, history = trainer.fit(
+        num_epochs=1,
+        checkpoint_cb=lambda s, m, step: saved.append((step, m["auc"])),
+    )
+    assert len(history) >= 1
+    assert all("auc" in h for h in history)
