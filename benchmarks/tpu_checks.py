@@ -1,0 +1,96 @@
+"""On-hardware checks for the fused Pallas encoder: compiled-mode parity vs
+the jnp reference, in-kernel dropout statistics, and forward timing at MIND
+scale. Run manually on a TPU host: ``python benchmarks/tpu_checks.py``.
+
+Timing uses the slope method (N chained calls + one terminal fetch) because
+``block_until_ready`` does not force execution through the axon tunnel
+(see .claude/skills/verify/SKILL.md).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_news_recommender_tpu.ops import attention as A
+from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
+    fused_news_encoder,
+)
+
+
+def params(rng, D, Q, dtype):
+    return dict(
+        wqkv=jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.05, dtype),
+        bqkv=jnp.asarray(rng.normal(size=(3 * D,)) * 0.01, dtype),
+        wo=jnp.asarray(rng.normal(size=(D, D)) * 0.05, dtype),
+        bo=jnp.asarray(rng.normal(size=(D,)) * 0.01, dtype),
+        aw=jnp.asarray(rng.normal(size=(D, Q)) * 0.05, dtype),
+        ab=jnp.asarray(rng.normal(size=(Q,)) * 0.01, dtype),
+        aq=jnp.asarray(rng.normal(size=(Q,)) * 0.1, dtype),
+    )
+
+
+def reference(x, mask, p, H):
+    h = A.multi_head_self_attention(
+        x, p["wqkv"], p["bqkv"], p["wo"], p["bo"], H, mask)
+    return A.additive_attention(h, p["aw"], p["ab"], p["aq"], mask)
+
+
+def main():
+    print("devices:", jax.devices())
+    rng = np.random.default_rng(0)
+
+    # ---- parity, fp32, compiled ----
+    M, L, D, H, Q = 260, 20, 300, 10, 200
+    lens = rng.integers(1, L + 1, size=M)
+    mask_np = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(M, L, D)) * mask_np[..., None], jnp.float32)
+    mask = jnp.asarray(mask_np)
+    p = params(rng, D, Q, jnp.float32)
+    expect = np.asarray(jax.jit(lambda: reference(x, mask, p, H))())
+    got = np.asarray(fused_news_encoder(x, mask, **p, num_heads=H))
+    err = np.max(np.abs(got - expect)) / (np.max(np.abs(expect)) + 1e-9)
+    print(f"fp32 parity rel-max-err: {err:.2e}")
+    # The XLA reference lowers f32 matmuls to bf16 MXU passes on TPU, so a
+    # few e-3 of disagreement is the reference's rounding, not the kernel's
+    # (CPU interpret-mode parity in tests/test_pallas_encoder.py is 2e-4).
+    assert err < 1e-2, err
+
+    # ---- dropout statistics ----
+    outs = [np.asarray(fused_news_encoder(
+        x, mask, **p, num_heads=H, dropout_rate=0.2, seed=s))
+        for s in range(12)]
+    mean = np.mean(outs, axis=0)
+    corr = np.corrcoef(mean.ravel(), expect.ravel())[0, 1]
+    zero_frac = np.mean(np.isclose(outs[0], outs[1]))
+    print(f"dropout mean-corr: {corr:.4f}  seed-overlap frac: {zero_frac:.3f}")
+    assert corr > 0.97, corr
+    assert not np.allclose(outs[0], outs[1])
+
+    # ---- timing at MIND scale, bf16 ----
+    Mb = 28672
+    key = jax.random.PRNGKey(0)
+    xb = jax.jit(lambda k: jax.random.normal(k, (Mb, L, D), jnp.bfloat16))(key)
+    maskb = jnp.ones((Mb, L), jnp.float32)
+    pb = params(rng, D, Q, jnp.bfloat16)
+
+    fused = jax.jit(lambda x: fused_news_encoder(
+        x, maskb, **pb, num_heads=H))
+    ref = jax.jit(lambda x: reference(x, maskb, pb, H))
+
+    for name, fn in [("fused", fused), ("xla-ref", ref)]:
+        out = fn(xb)
+        _ = np.asarray(out.ravel()[0])  # force compile+run
+        t0 = time.perf_counter()
+        o = xb
+        N = 20
+        for _ in range(N):
+            out = fn(xb)
+        _ = np.asarray(out.ravel()[0])
+        dt = (time.perf_counter() - t0) / N * 1e3
+        print(f"{name} fwd [28672,20,300]: {dt:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
