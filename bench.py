@@ -1,18 +1,25 @@
 """Headline benchmark: NRMS training throughput (examples/sec/chip).
 
-Runs on whatever accelerator JAX exposes (the real TPU chip under the driver).
-Measures the framework's fused, id-only-batch training step at reference
-dimensions (MIND: vocab 45800, 300-d GloVe, 10 heads, history 50, 1+5
+Runs on whatever accelerator JAX exposes (the real TPU chip under the
+driver). Measures the framework's training step at reference dimensions
+(MIND: vocab 45800, 50k news corpus, GloVe-300d, 10 heads, history 50, 1+5
 candidates, batch 512 — ``/root/reference/MIND_2020/config.py`` +
-``run_v0.py:46``).
+``run_v0.py:46``) with the TPU-first path enabled: batch news deduplication,
+fused Pallas encoder kernels (fwd+bwd), id-only device-resident batching.
 
-``vs_baseline`` compares against a faithful *reference-structure* step
-measured on the SAME chip: per-news-slot Python-loop encoder calls (the
-reference's ``nrms_v1.py:263-268`` launches one kernel per news slot) fed
-with host-assembled ``[B, 56, 20]`` word tensors per step (reference
-``data_handler.py:185-250`` + per-forward ``.to(device)``). The reference
-repo publishes no throughput numbers (SURVEY.md §6), so identical-hardware
-structural comparison is the honest baseline available.
+``vs_baseline`` compares against a faithful *reference-structure* step on the
+SAME chip: per-news-slot Python-loop encoder calls (the reference launches
+one kernel per news slot, ``nrms_v1.py:263-268``) fed with host-assembled
+``[B, 56, 20]`` word tensors each step (reference ``data_handler.py:185-250``
++ per-forward ``.to(device)``). The reference repo publishes no throughput
+numbers (SURVEY.md §6), so identical-hardware structural comparison is the
+honest baseline available.
+
+Timing notes (axon tunnel): ``block_until_ready`` does not force execution
+and even scalar-metric fetches can under-report; only fetching from the
+donated/updated *parameter* state reliably forces the whole chain. We
+therefore time N chained steps ending with a device-side scalar slice of a
+parameter, at two N values, and report the asymptotic (marginal) rate.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
@@ -43,7 +50,6 @@ def main():
     from pytorch_news_recommender_tpu.train.loop import Trainer, softmax_ce_loss
 
     BATCH = 512
-    STEPS = 30
 
     cfg = Config(
         data=DataConfig(dataset="synthetic"),
@@ -53,27 +59,45 @@ def main():
         ),
         train=TrainConfig(batch_size=BATCH),
     )
-    ds = synthetic.generate(cfg.data, seed=0, n_news=2000, vocab_size=45800,
-                            n_train=4 * BATCH, n_dev=8)
+    ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
+                            n_train=8 * BATCH, n_dev=8)
     trainer = Trainer(cfg, ds)
-    state = trainer.init_state(seed=0)
     rng = jax.random.PRNGKey(0)
-    batches = list(train_batches(ds.train, BATCH, np.random.default_rng(0)))
-
-    # ---- ours: id-only batches, fused batched encoder ----
     log(f"devices: {jax.devices()}")
-    t0 = time.perf_counter()
-    state, m = trainer.run_step(state, batches[0], rng)  # compile
-    jax.block_until_ready(m["loss"])
-    log(f"compile: {time.perf_counter() - t0:.1f}s")
 
+    def force(state):
+        """Device-side scalar slice of a param — reliably syncs the chain."""
+        return float(jnp.sum(
+            state.params["news_encoder"]["tower"]["wqkv"][0, :2]))
+
+    def measure(step_once, state, n_lo=10, n_hi=50):
+        """Marginal ms/step from two chain lengths (cancels fixed costs)."""
+        state = step_once(state, 0)
+        force(state)
+        times = {}
+        for n in (n_lo, n_hi):
+            t0 = time.perf_counter()
+            for i in range(n):
+                state = step_once(state, i)
+            force(state)
+            times[n] = time.perf_counter() - t0
+        ms = (times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1e3
+        return ms, state
+
+    # ---- ours: dedup + fused kernels ----
+    batches = list(train_batches(ds.train, BATCH, np.random.default_rng(0),
+                                 dedup=True))
+    state = trainer.init_state(seed=0)
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, m = trainer.run_step(state, batches[i % len(batches)], rng)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    ours = BATCH * STEPS / dt
-    log(f"fused step: {dt / STEPS * 1e3:.2f} ms -> {ours:,.0f} ex/s")
+
+    def ours(state, i):
+        s, _ = trainer.run_step(state, batches[i % len(batches)], rng)
+        return s
+
+    ms_ours, state = measure(ours, state)
+    ours_rate = BATCH / ms_ours * 1e3
+    log(f"fused+dedup step: {ms_ours:.2f} ms -> {ours_rate:,.0f} ex/s "
+        f"(total bench section {time.perf_counter()-t0:.0f}s)")
 
     # ---- reference-structure baseline on the same chip ----
     model = trainer.model
@@ -86,9 +110,7 @@ def main():
         def loss_fn(params):
             def enc(t):
                 return model.apply(
-                    {"params": params}, t, deterministic=False,
-                    rngs={"dropout": drng}, method="encode_news")
-            # one encoder launch per news slot, as the reference loops
+                    {"params": params}, t, True, method="encode_news")
             cand_vecs = jnp.stack(
                 [enc(cand_titles[:, j]) for j in range(S)], axis=1)
             browsed_vecs = jnp.stack(
@@ -99,41 +121,43 @@ def main():
             return softmax_ce_loss(scores)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads=grads), loss
+        return state.apply_gradients(grads=grads)
 
+    # The naive path must not benefit from our fused kernels: rebuild the
+    # model with use_pallas off (the reference's op-by-op XLA lowering).
+    d = cfg.to_dict()
+    d["model"]["use_pallas"] = False
+    from pytorch_news_recommender_tpu.config import Config as _C
+    naive_trainer = Trainer(_C.from_dict(d), ds)
+    model = naive_trainer.model
     naive_jit = jax.jit(naive_step, donate_argnums=(0,))
     title_tab = ds.news.title
+    raw_batches = list(train_batches(ds.train, BATCH,
+                                     np.random.default_rng(0)))
 
     def host_assemble(b):
-        # the reference re-gathers word ids per sample on host and ships
-        # [B, H+S, 20] tensors every step
         bt = title_tab[b["browsed_ids"]]
         ct = title_tab[b["candidate_ids"]]
         bm = (b["browsed_ids"] != 0).astype(np.float32)
         return (jnp.asarray(bt), jnp.asarray(ct), jnp.asarray(bm))
 
-    state2 = trainer.init_state(seed=0)
-    t0 = time.perf_counter()
-    bt, ct, bm = host_assemble(batches[0])
-    state2, loss = naive_jit(state2, bt, ct, bm, rng)
-    jax.block_until_ready(loss)
-    log(f"naive compile: {time.perf_counter() - t0:.1f}s")
+    state2 = naive_trainer.init_state(seed=0)
 
-    naive_steps = max(10, STEPS // 3)
+    def naive(state, i):
+        bt, ct, bm = host_assemble(raw_batches[i % len(raw_batches)])
+        return naive_jit(state, bt, ct, bm, rng)
+
     t0 = time.perf_counter()
-    for i in range(naive_steps):
-        bt, ct, bm = host_assemble(batches[i % len(batches)])
-        state2, loss = naive_jit(state2, bt, ct, bm, rng)
-    jax.block_until_ready(loss)
-    dt2 = time.perf_counter() - t0
-    naive = BATCH * naive_steps / dt2
-    log(f"naive step: {dt2 / naive_steps * 1e3:.2f} ms -> {naive:,.0f} ex/s")
+    ms_naive, _ = measure(naive, state2, n_lo=5, n_hi=20)
+    naive_rate = BATCH / ms_naive * 1e3
+    log(f"reference-structure step: {ms_naive:.2f} ms -> {naive_rate:,.0f} "
+        f"ex/s (section {time.perf_counter()-t0:.0f}s)")
 
     print(json.dumps({
         "metric": "nrms_train_examples_per_sec_per_chip",
-        "value": round(ours, 1),
+        "value": round(ours_rate, 1),
         "unit": "examples/sec/chip",
-        "vs_baseline": round(ours / naive, 3),
+        "vs_baseline": round(ours_rate / naive_rate, 3),
     }))
 
 

@@ -93,6 +93,7 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"     # activations/matmul inputs
     param_dtype: str = "float32"        # parameters + accumulations
     use_pallas: bool = True             # fused Pallas kernels on TPU
+    pallas_interpret: bool = False      # interpreter-mode kernels (tests)
 
     def with_artifact_meta(self, meta: "ArtifactMeta") -> "ModelConfig":
         return dataclasses.replace(
@@ -121,6 +122,13 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0         # 0 = off
     seed: int = 422
+    # Encode each distinct news in a batch once (most history slots are pad
+    # or repeated news) instead of per slot like the reference.
+    dedup_batches: bool = True
+    # Eval via cached news vectors (two-tower) when the model supports it,
+    # instead of re-encoding up to 300 candidates per impression.
+    eval_two_tower: bool = True
+    eval_encode_chunk: int = 4096
     auc_checkpoint_floor: float = 0.56  # min dev AUC before checkpointing
     max_dev_samples: int = 100_000      # reference truncates dev to 100k
     save_dir: str = "save_model"

@@ -25,17 +25,54 @@ from pytorch_news_recommender_tpu.data.dataset import DevData, TrainData
 Batch = Dict[str, np.ndarray]
 
 
+DEFAULT_UNIQUE_BUCKETS = (1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def dedup_batch(batch: Batch,
+                buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS) -> Batch:
+    """Rewrite a batch in deduplicated form.
+
+    A training batch references ``B*(H+S)`` news slots but most are the pad
+    news or repeats (popular news, overlapping histories). The reference
+    encodes every slot (``nrms_v1.py:263-268``); here the model encodes each
+    distinct news once: the batch carries the sorted ``unique_ids`` (slot 0 is
+    always the pad news 0) plus inverse indices, and the encoder output is
+    gathered back. Unique count is padded up to a bucket size so XLA sees a
+    few static shapes.
+    """
+    browsed = batch["browsed_ids"]
+    cand = batch["candidate_ids"]
+    all_ids = np.concatenate(
+        [np.zeros(1, browsed.dtype), browsed.ravel(), cand.ravel()])
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    u = len(uniq)
+    width = next((b for b in buckets if u <= b), None)
+    if width is None:
+        width = int(np.ceil(u / buckets[-1])) * buckets[-1]
+    unique_ids = np.zeros(width, browsed.dtype)
+    unique_ids[:u] = uniq
+    nb = browsed.size
+    return {
+        "unique_ids": unique_ids,
+        "browsed_idx": inv[1:1 + nb].reshape(browsed.shape).astype(np.int32),
+        "candidate_idx": inv[1 + nb:].reshape(cand.shape).astype(np.int32),
+    }
+
+
 def train_batches(
     data: TrainData,
     batch_size: int,
     rng: Optional[np.random.Generator] = None,
     drop_remainder: bool = True,
+    dedup: bool = False,
+    unique_buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS,
 ) -> Iterator[Batch]:
     """Shuffled fixed-shape training batches.
 
     With ``drop_remainder`` the trailing partial batch is dropped (static
     shapes keep XLA from recompiling); an epoch therefore covers
     ``len(data) // batch_size * batch_size`` samples in shuffled order.
+    With ``dedup`` each batch is rewritten via :func:`dedup_batch`.
     """
     n = len(data)
     order = np.arange(n)
@@ -44,10 +81,11 @@ def train_batches(
     n_full = n - (n % batch_size) if drop_remainder else n
     for s in range(0, n_full, batch_size):
         idx = order[s:s + batch_size]
-        yield {
+        batch = {
             "browsed_ids": data.browsed_ids[idx],
             "candidate_ids": data.candidate_ids[idx],
         }
+        yield dedup_batch(batch, unique_buckets) if dedup else batch
 
 
 @dataclasses.dataclass

@@ -105,6 +105,77 @@ class WordEmbedding(nn.Module):
         return out
 
 
+def _uniform_pm(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+    return init
+
+
+class AttentionPoolTower(nn.Module):
+    """MHSA + additive-attention pooling over ``[..., L, D]`` with a shared
+    parameter set, runnable through either the jnp ops or the fused Pallas
+    kernel (``ops/pallas/fused_encoder.py``) — the kernel consumes the exact
+    same parameters, so the paths are interchangeable at checkpoint level.
+
+    This is the shared core of both the news tower (L = title words) and the
+    user tower (L = history length); reference ``nrms_v1.py:109-211``.
+    """
+
+    model_dim: int
+    num_heads: int
+    query_dim: int
+    dropout: float = 0.0          # post-MHSA dropout (nrms_v1.py:161)
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # testing hook: interpret-mode kernel
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        D = self.model_dim
+        wqkv = self.param("wqkv", nn.initializers.xavier_uniform(), (D, 3 * D))
+        bqkv = self.param("bqkv", nn.initializers.zeros, (3 * D,))
+        wo = self.param("wo", nn.initializers.xavier_uniform(), (D, D))
+        bo = self.param("bo", nn.initializers.zeros, (D,))
+        aw = self.param("aw", nn.initializers.xavier_uniform(),
+                        (D, self.query_dim))
+        ab = self.param("ab", nn.initializers.zeros, (self.query_dim,))
+        aq = self.param("aq", _uniform_pm(0.1), (self.query_dim,))
+        cd = _dtype(self.compute_dtype)
+
+        lead = x.shape[:-2]
+        L = x.shape[-2]
+        x2 = x.reshape(-1, L, D)
+        mask2 = mask.reshape(-1, L)
+        rate = 0.0 if deterministic else self.dropout
+
+        if self.use_pallas:
+            from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
+                fused_news_encoder_diff,
+            )
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.int32(0)
+            out = fused_news_encoder_diff(
+                x2.astype(cd), mask2,
+                wqkv.astype(cd), bqkv.astype(cd), wo.astype(cd),
+                bo.astype(cd), aw.astype(cd), ab.astype(cd), aq.astype(cd),
+                num_heads=self.num_heads, dropout_rate=rate, seed=seed,
+                interpret=self.pallas_interpret)
+        else:
+            h = A.multi_head_self_attention(
+                x2.astype(cd), wqkv.astype(cd), bqkv.astype(cd),
+                wo.astype(cd), bo.astype(cd), self.num_heads, mask2)
+            if rate > 0.0:
+                h = nn.Dropout(rate, deterministic=False)(h)
+            out = A.additive_attention(
+                h, aw.astype(cd), ab.astype(cd), aq.astype(cd), mask2)
+        return out.reshape(*lead, D)
+
+
 class NewsEncoder(nn.Module):
     """Word-level news tower: embed -> dropout -> MHSA -> dropout -> pool.
 
@@ -119,6 +190,7 @@ class NewsEncoder(nn.Module):
     dropout: float = 0.2
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -126,22 +198,26 @@ class NewsEncoder(nn.Module):
         x = WordEmbedding(self.n_words, self.word_embed_size,
                           self.compute_dtype, name="word_embedding")(ids, mask)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = MultiHeadSelfAttention(
-            self.num_heads, self.word_embed_size, self.compute_dtype,
-            self.use_pallas, name="mhsa")(x, mask)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return AdditiveAttention(self.query_dim, self.compute_dtype,
-                                 name="pool")(x, mask)
+        return AttentionPoolTower(
+            model_dim=self.word_embed_size, num_heads=self.num_heads,
+            query_dim=self.query_dim, dropout=self.dropout,
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
+            name="tower")(x, mask, deterministic)
 
 
 class UserEncoder(nn.Module):
-    """User tower: MHSA over the encoded clicked-news sequence + pooling."""
+    """User tower: MHSA over the encoded clicked-news sequence + pooling.
+
+    No dropout, matching the reference user encoder
+    (``nrms_v1.py:200-211``)."""
 
     model_dim: int
     num_heads: int
     query_dim: int
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -149,11 +225,14 @@ class UserEncoder(nn.Module):
         news_vecs: jax.Array,            # [B, H, D]
         mask: Optional[jax.Array] = None,  # [B, H]
     ) -> jax.Array:
-        x = MultiHeadSelfAttention(
-            self.num_heads, self.model_dim, self.compute_dtype,
-            self.use_pallas, name="mhsa")(news_vecs, mask)
-        return AdditiveAttention(self.query_dim, self.compute_dtype,
-                                 name="pool")(x, mask)
+        if mask is None:
+            mask = jnp.ones(news_vecs.shape[:-1], jnp.float32)
+        return AttentionPoolTower(
+            model_dim=self.model_dim, num_heads=self.num_heads,
+            query_dim=self.query_dim, dropout=0.0,
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
+            name="tower")(news_vecs, mask, True)
 
 
 class PositionwiseFeedForward(nn.Module):

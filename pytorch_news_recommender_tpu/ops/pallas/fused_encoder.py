@@ -39,15 +39,15 @@ NEG_INF = -1e9
 
 def _choose_packing(L: int, target_rows: int = 128) -> int:
     """News items packed per attention subtile: largest P with P*L a
-    multiple of 8 (f32 sublane tile) and P*L near the 128-lane sweet spot."""
-    best = 1
-    for p in range(1, max(2, 2 * target_rows // L) + 1):
-        if (p * L) % 8 == 0 and p * L <= 2 * target_rows:
-            best = p
-    if (best * L) % 8 != 0:
-        # fall back: single news per subtile, rely on Mosaic relayouts
-        best = 1
-    return best
+    multiple of 8 (f32 sublane tile) and P*L <= 128 so the [SUB, SUB] score
+    tile spans a single lane-tile (lane padding past 128 doubles every VPU
+    pass over the scores)."""
+    candidates = [p for p in range(1, max(1, 2 * target_rows // L) + 1)
+                  if (p * L) % 8 == 0 and p * L <= 2 * target_rows]
+    if not candidates:
+        return 1  # rely on Mosaic relayouts for odd L
+    under = [p for p in candidates if p * L <= target_rows]
+    return max(under) if under else min(candidates)
 
 
 def _lcm(a: int, b: int) -> int:
@@ -56,14 +56,19 @@ def _lcm(a: int, b: int) -> int:
 
 
 def _block_geometry(L: int, block_news: int = 64,
-                    pack_news: int | None = None) -> Tuple[int, int, int]:
+                    pack_news: int | None = None,
+                    max_rows: int = 1280) -> Tuple[int, int, int]:
     """Returns (BM, P, SUB): news per block, packing, subtile rows.
 
     BM must be a multiple of P (whole subtiles) AND of 8 (the output block's
-    sublane tiling requires the leading block dim divisible by 8)."""
+    sublane tiling requires the leading block dim divisible by 8). The block
+    is additionally capped at ``max_rows`` total token rows so the f32
+    scratches ([R, 3D] + [R, D]) stay within the ~16MB VMEM budget for long
+    sequences (e.g. the user tower's L=50)."""
     P = pack_news if pack_news is not None else _choose_packing(L)
     step = _lcm(P, 8)
-    BM = step * max(1, block_news // step)
+    target = min(block_news, max(1, max_rows // L))
+    BM = step * max(1, target // step)
     return BM, P, P * L
 
 
@@ -78,6 +83,7 @@ def _encoder_kernel(
     out_ref,             # [BM, D]
     qkv_scratch,         # [BM*L, 3D] f32 scratch (staged projections)
     o_scratch,           # [BM*L, D] f32 scratch (attention output)
+    q3_s, k3_s, v3_s,    # [H, SUB, dh] f32 head-major staging
     *,
     L: int,
     H: int,
@@ -96,31 +102,44 @@ def _encoder_kernel(
         jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
         + bqkv_ref[:]
     )  # [R, 3D] f32
+    # Pre-scale all q rows once (one [R, D] pass) instead of scaling every
+    # [SUB, SUB] score matrix.
+    qkv_scratch[:, :D] = qkv_scratch[:, :D] * scale
 
     # Block-diagonal (per-news) mask for a packed subtile.
     rows_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0) // L
     cols_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1) // L
     blockdiag = (rows_n == cols_n).astype(jnp.float32)
+    B3 = (((2,), (2,)), ((0,), (0,)))   # batched q @ k^T over heads
+    BV = (((2,), (1,)), ((0,), (0,)))   # batched probs @ v over heads
 
     def subtile(s, _):
         r0 = pl.multiple_of(s * SUB, 8)
         mvec = maskf_ref[pl.ds(r0, SUB), :]  # [SUB, 1]
-        pair = (
+        # Additive penalty: 0 on valid (own-news, both-tokens-real) pairs,
+        # -1e9 elsewhere. Shared by all heads.
+        pen = (
             jnp.dot(mvec, mvec.reshape(1, SUB),
                     preferred_element_type=jnp.float32)
             * blockdiag
-        )
+            - 1.0
+        ) * 1e9
+        # Head-major restage: H*3 independent copies that pipeline freely,
+        # then ONE batched op chain over all heads — the per-head loop of
+        # small dependent ops serializes ~600 cycles/iteration otherwise.
         for h in range(H):
-            qh = qkv_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh]
-            kh = qkv_scratch[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh]
-            vh = qkv_scratch[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh]
-            scores = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
-            scores = jnp.where(pair > 0, scores * scale, NEG_INF)
-            scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores)
-            probs = e / jnp.sum(e, axis=-1, keepdims=True)
-            o = jnp.dot(probs, vh, preferred_element_type=jnp.float32)
-            o_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = o
+            q3_s[h] = qkv_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh]
+            k3_s[h] = qkv_scratch[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh]
+            v3_s[h] = qkv_scratch[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            q3_s[:], k3_s[:], B3, preferred_element_type=jnp.float32
+        ) + pen                                             # [H, SUB, SUB]
+        e = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+        rowsum = jnp.sum(e, axis=-1, keepdims=True)         # [H, SUB, 1]
+        o3 = jax.lax.dot_general(
+            e, v3_s[:], BV, preferred_element_type=jnp.float32) / rowsum
+        for h in range(H):
+            o_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = o3[h]
         return 0
 
     jax.lax.fori_loop(0, nsub, subtile, 0)
@@ -156,6 +175,215 @@ def _encoder_kernel(
     num = jnp.dot(weights, o2, preferred_element_type=jnp.float32)  # [BM, D]
     den = jnp.dot(ind, e, preferred_element_type=jnp.float32)       # [BM, 1]
     out_ref[:] = (num / jnp.maximum(den, 1e-30)).astype(out_ref.dtype)
+
+
+def _encoder_bwd_kernel(
+    seed_ref,            # [1] int32 (scalar prefetch)
+    g_ref,               # [BM, D] cotangent of pooled output (f32)
+    x_ref,               # [BM*L, D]
+    maskf_ref,           # [BM*L, 1] f32
+    wqkv_ref, bqkv_ref,
+    wo_ref, bo_ref,
+    aw_ref, ab_ref,
+    aq_ref,
+    dx_ref,              # [BM*L, D] out
+    dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, daw_ref, dab_ref, daq_ref,
+    qkv_s,               # [R, 3D] f32
+    o1_s,                # [R, D] f32
+    o2_s,                # [R, D] f32
+    keep_s,              # [R, D] f32 dropout keep/(1-p) scale
+    dqkv_s,              # [R, 3D] f32
+    q3_s, k3_s, v3_s,    # [H, SUB, dh] f32 head-major staging
+    g3_s,                # [H, SUB, dh] f32 head-major dO1 staging
+    *,
+    L: int,
+    H: int,
+    P: int,
+    dropout_rate: float,
+):
+    """Recompute-style backward: replays the forward (same PRNG stream) and
+    emits dx plus weight grads accumulated across the sequential TPU grid."""
+    R, D = x_ref.shape
+    BM = R // L
+    SUB = P * L
+    nsub = R // SUB
+    dh = D // H
+    scale = 1.0 / (dh ** 0.5)
+    NT = (((0,), (0,)), ((), ()))  # contract dim0 x dim0 -> A^T @ B
+    TN = (((1,), (1,)), ((), ()))  # contract dim1 x dim1 -> A @ B^T
+
+    x = x_ref[:]
+    qkv_s[:] = (
+        jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:]
+    )
+    # Pre-scale q rows once (see forward kernel); dq below then needs an
+    # explicit * scale while dk reads the already-scaled q directly.
+    qkv_s[:, :D] = qkv_s[:, :D] * scale
+
+    rows_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0) // L
+    cols_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1) // L
+    blockdiag = (rows_n == cols_n).astype(jnp.float32)
+    B3 = (((2,), (2,)), ((0,), (0,)))   # batched A @ B^T over heads
+    BV = (((2,), (1,)), ((0,), (0,)))   # batched probs @ v over heads
+    BT = (((1,), (1,)), ((0,), (0,)))   # batched A^T @ B over heads
+
+    def _pen(mvec):
+        return (
+            jnp.dot(mvec, mvec.reshape(1, SUB),
+                    preferred_element_type=jnp.float32)
+            * blockdiag
+            - 1.0
+        ) * 1e9
+
+    def _stage_heads(r0):
+        for h in range(H):
+            q3_s[h] = qkv_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh]
+            k3_s[h] = qkv_s[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh]
+            v3_s[h] = qkv_s[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh]
+
+    def _probs(pen):
+        scores = jax.lax.dot_general(
+            q3_s[:], k3_s[:], B3, preferred_element_type=jnp.float32) + pen
+        e = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+        return e / jnp.sum(e, axis=-1, keepdims=True)   # [H, SUB, SUB]
+
+    # ---- forward replay: attention ----
+    def subtile_fwd(s, _):
+        r0 = pl.multiple_of(s * SUB, 8)
+        _stage_heads(r0)
+        probs = _probs(_pen(maskf_ref[pl.ds(r0, SUB), :]))
+        o3 = jax.lax.dot_general(
+            probs, v3_s[:], BV, preferred_element_type=jnp.float32)
+        for h in range(H):
+            o1_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = o3[h]
+        return 0
+
+    jax.lax.fori_loop(0, nsub, subtile_fwd, 0)
+
+    o2 = (
+        jnp.dot(o1_s[:].astype(x.dtype), wo_ref[:],
+                preferred_element_type=jnp.float32)
+        + bo_ref[:]
+    )
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.prng_random_bits((R, D))
+        threshold = jnp.uint32(int(dropout_rate * (2 ** 32)))
+        keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+        keep_s[:] = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
+        o2 = o2 * keep_s[:]
+    o2_s[:] = o2
+
+    t = jnp.tanh(
+        jnp.dot(o2.astype(x.dtype), aw_ref[:],
+                preferred_element_type=jnp.float32)
+        + ab_ref[:]
+    )
+    s_add = jnp.dot(t, aq_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)  # [R, 1]
+    s_add = jnp.where(maskf_ref[:] > 0, s_add, NEG_INF)
+    s_add = s_add - jnp.max(s_add)
+    e_add = jnp.where(maskf_ref[:] > 0, jnp.exp(s_add), 0.0)  # [R, 1]
+
+    ind_rows = jax.lax.broadcasted_iota(jnp.int32, (BM, R), 0)
+    ind_cols = jax.lax.broadcasted_iota(jnp.int32, (BM, R), 1) // L
+    ind = (ind_rows == ind_cols).astype(jnp.float32)             # [BM, R]
+    den = jnp.maximum(
+        jnp.dot(ind, e_add, preferred_element_type=jnp.float32), 1e-30)
+    den_exp = jax.lax.dot_general(ind, den, NT,
+                              preferred_element_type=jnp.float32)        # [R, 1]
+    w_flat = e_add / den_exp                                     # [R, 1]
+
+    # ---- backward ----
+    g = g_ref[:].astype(jnp.float32)                             # [BM, D]
+    g_exp = jax.lax.dot_general(ind, g, NT,
+                            preferred_element_type=jnp.float32)          # [R, D]
+    do2_pool = w_flat * g_exp
+    dw_flat = jnp.sum(o2_s[:] * g_exp, axis=1, keepdims=True)    # [R, 1]
+    ip = jnp.dot(ind, w_flat * dw_flat,
+                 preferred_element_type=jnp.float32)             # [BM, 1]
+    ip_exp = jax.lax.dot_general(ind, ip, NT,
+                             preferred_element_type=jnp.float32)         # [R, 1]
+    ds_add = w_flat * (dw_flat - ip_exp)                         # [R, 1]
+
+    i0 = pl.program_id(0) == 0
+    tanh_in = t  # [R, Q] f32
+    daq = jax.lax.dot_general(tanh_in, ds_add, NT,
+                          preferred_element_type=jnp.float32)            # [Q, 1]
+    dt = jax.lax.dot_general(ds_add, aq_ref[:].astype(jnp.float32), TN,
+                         preferred_element_type=jnp.float32)             # [R, Q]
+    dpre = dt * (1.0 - tanh_in * tanh_in)                        # [R, Q]
+    daw = jax.lax.dot_general(o2_s[:], dpre, NT,
+                          preferred_element_type=jnp.float32)            # [D, Q]
+    dab = jnp.sum(dpre, axis=0, keepdims=True)                   # [1, Q]
+    do2 = do2_pool + jax.lax.dot_general(dpre, aw_ref[:].astype(jnp.float32), TN,
+                                     preferred_element_type=jnp.float32)  # [R, D]
+    if dropout_rate > 0.0:
+        do2 = do2 * keep_s[:]
+
+    dwo = jax.lax.dot_general(o1_s[:], do2, NT,
+                          preferred_element_type=jnp.float32)            # [D, D]
+    dbo = jnp.sum(do2, axis=0, keepdims=True)                    # [1, D]
+    # stage do1 in o2_s (its last use was above) so subtiles can slice a ref
+    o2_s[:] = jax.lax.dot_general(do2, wo_ref[:].astype(jnp.float32), TN,
+                                  preferred_element_type=jnp.float32)    # [R, D]
+
+    # attention backward (replay probs, all heads batched)
+    def subtile_bwd(s, _):
+        r0 = pl.multiple_of(s * SUB, 8)
+        _stage_heads(r0)
+        for h in range(H):
+            g3_s[h] = o2_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh]  # dO1 heads
+        probs = _probs(_pen(maskf_ref[pl.ds(r0, SUB), :]))
+        doh = g3_s[:]                                            # [H, SUB, dh]
+        dv = jax.lax.dot_general(probs, doh, BT,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(doh, v3_s[:], B3,
+                                 preferred_element_type=jnp.float32)
+        pdp = probs * dp
+        dsc = pdp - probs * jnp.sum(pdp, axis=-1, keepdims=True)
+        # q was pre-scaled: dq (wrt unscaled q) needs * scale; dk uses the
+        # scaled q directly (chain rule through q' = q * scale).
+        dq = jax.lax.dot_general(dsc, k3_s[:], BV,
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(dsc, q3_s[:], BT,
+                                 preferred_element_type=jnp.float32)
+        for h in range(H):
+            dqkv_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = dq[h]
+            dqkv_s[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh] = dk[h]
+            dqkv_s[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh] = dv[h]
+        return 0
+
+    jax.lax.fori_loop(0, nsub, subtile_bwd, 0)
+
+    dqkv = dqkv_s[:]
+    dwqkv = jax.lax.dot_general(x.astype(jnp.float32), dqkv, NT,
+                            preferred_element_type=jnp.float32)          # [D, 3D]
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)                 # [1, 3D]
+    dx_ref[:] = jax.lax.dot_general(dqkv, wqkv_ref[:].astype(jnp.float32), TN,
+                                preferred_element_type=jnp.float32
+                                ).astype(dx_ref.dtype)                   # [R, D]
+
+    @pl.when(i0)
+    def _():
+        dwqkv_ref[:] = dwqkv
+        dbqkv_ref[:] = dbqkv
+        dwo_ref[:] = dwo
+        dbo_ref[:] = dbo
+        daw_ref[:] = daw
+        dab_ref[:] = dab
+        daq_ref[:] = daq
+
+    @pl.when(jnp.logical_not(i0))
+    def _():
+        dwqkv_ref[:] += dwqkv
+        dbqkv_ref[:] += dbqkv
+        dwo_ref[:] += dwo
+        dbo_ref[:] += dbo
+        daw_ref[:] += daw
+        dab_ref[:] += dab
+        daq_ref[:] += daq
 
 
 @functools.partial(
@@ -238,6 +466,9 @@ def fused_news_encoder(
             scratch_shapes=[
                 pltpu.VMEM((R, 3 * D), jnp.float32),
                 pltpu.VMEM((R, D), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((M_pad, D), x.dtype),
@@ -246,6 +477,8 @@ def fused_news_encoder(
             bytes_accessed=x2.size * x2.dtype.itemsize + M_pad * D * 4,
             transcendentals=M_pad * L * (SUB + Q),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         seed_arr, x2, maskf,
@@ -253,3 +486,141 @@ def fused_news_encoder(
         aw, ab.reshape(1, -1), aq.reshape(-1, 1),
     )
     return out[:M]
+
+
+def _bwd_pallas_call(
+    g, x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed,
+    *, num_heads, dropout_rate, block_news, pack_news, interpret,
+):
+    """Backward pallas_call: returns (dx, dwqkv, dbqkv, dwo, dbo, daw, dab,
+    daq) with weight grads accumulated over the sequential grid."""
+    M, L, D = x.shape
+    Q = aw.shape[1]
+    # Backward holds ~2.5x the scratch of forward (qkv + dqkv + 3 [R, D]
+    # f32 buffers); halve the block and cap rows harder.
+    BM, P, SUB = _block_geometry(L, max(8, block_news // 2), pack_news,
+                                 max_rows=640)
+    M_pad = -(-M // BM) * BM
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, M_pad - M), (0, 0)))
+        g = jnp.pad(g, ((0, M_pad - M), (0, 0)))
+    grid = M_pad // BM
+    R = BM * L
+
+    x2 = x.reshape(M_pad * L, D)
+    maskf = mask.reshape(M_pad * L, 1).astype(jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    g = g.astype(jnp.float32)
+
+    kernel = functools.partial(
+        _encoder_bwd_kernel, L=L, H=num_heads, P=P, dropout_rate=dropout_rate)
+
+    full = lambda *shape: [pl.BlockSpec(shape, (lambda i, *_: tuple(0 for _ in shape)),
+                                        memory_space=pltpu.VMEM)][0]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((BM, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                full(D, 3 * D), full(1, 3 * D),
+                full(D, D), full(1, D),
+                full(D, Q), full(1, Q),
+                full(Q, 1),
+            ],
+            out_specs=[
+                pl.BlockSpec((R, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                full(D, 3 * D), full(1, 3 * D),
+                full(D, D), full(1, D),
+                full(D, Q), full(1, Q),
+                full(Q, 1),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((R, 3 * D), jnp.float32),   # qkv
+                pltpu.VMEM((R, D), jnp.float32),       # o1
+                pltpu.VMEM((R, D), jnp.float32),       # o2 / do1
+                pltpu.VMEM((R, D), jnp.float32),       # dropout keep
+                pltpu.VMEM((R, 3 * D), jnp.float32),   # dqkv
+                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((M_pad * L, D), x.dtype),
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, Q), jnp.float32),
+            jax.ShapeDtypeStruct((1, Q), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        seed_arr, g, x2, maskf,
+        wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1),
+        aw, ab.reshape(1, -1), aq.reshape(-1, 1),
+    )
+    dx2, dwqkv, dbqkv, dwo, dbo, daw, dab, daq = outs
+    dx = dx2.reshape(M_pad, L, D)[:M]
+    return dx, dwqkv, dbqkv, dwo, dbo, daw, dab, daq
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_encoder(num_heads, dropout_rate, block_news, pack_news,
+                       interpret):
+    """Builds a differentiable fused encoder for one static config."""
+
+    kw = dict(num_heads=num_heads, dropout_rate=dropout_rate,
+              block_news=block_news, pack_news=pack_news, interpret=interpret)
+
+    @jax.custom_vjp
+    def fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
+        return fused_news_encoder(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq,
+                                  seed=seed, **kw)
+
+    def fwd(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
+        out = fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+        return out, (x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+
+    def bwd(res, g):
+        x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed = res
+        dx, dwqkv, dbqkv, dwo, dbo, daw, dab, daq = _bwd_pallas_call(
+            g, x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed, **kw)
+        import numpy as np
+        zero_seed = np.zeros(np.shape(seed), jax.dtypes.float0)
+        return (dx,
+                jnp.zeros_like(mask),
+                dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+                dwo.astype(wo.dtype),
+                dbo.reshape(bo.shape).astype(bo.dtype),
+                daw.astype(aw.dtype),
+                dab.reshape(ab.shape).astype(ab.dtype),
+                daq.reshape(aq.shape).astype(aq.dtype),
+                zero_seed)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def fused_news_encoder_diff(
+    x, mask, wqkv, bqkv, wo, bo, aw, ab, aq,
+    *, num_heads, dropout_rate=0.0, seed=0, block_news=64, pack_news=None,
+    interpret=False,
+):
+    """Differentiable fused encoder (custom VJP with a fused backward
+    kernel). ``seed`` may be a traced int32 scalar; its cotangent is float0."""
+    fn = _make_diff_encoder(num_heads, float(dropout_rate), block_news,
+                            pack_news, interpret)
+    return fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq,
+              jnp.asarray(seed, jnp.int32))

@@ -126,9 +126,24 @@ class Trainer:
         }
 
     # ---- train ----
-    def train_step_fn(self) -> Callable:
-        if self._train_step is not None:
-            return self._train_step
+    def _batch_shardings(self, batch) -> Dict[str, Any]:
+        """Per-key shardings: every batch array splits its leading axis over
+        the data mesh axis (``unique_ids`` included — the unique-news encoder
+        work is what data-parallelism should divide; XLA inserts the
+        all-gather for the inverse-index lookups)."""
+        n_data = self.mesh.shape[self.cfg.mesh.data_axis]
+        out = {}
+        for k, v in batch.items():
+            if v.shape[0] % n_data == 0:
+                out[k] = self._batch_shard
+            else:
+                out[k] = self._repl
+        return out
+
+    def train_step_fn(self, batch) -> Callable:
+        key = tuple(sorted(batch.keys()))
+        if key in self._score_fns.get("_steps", {}):
+            return self._score_fns["_steps"][key]
 
         def step(state: TrainState, batch, news_feats, rng):
             drng = jax.random.fold_in(rng, state.step)
@@ -146,23 +161,26 @@ class Trainer:
             new_state = state.apply_gradients(grads=grads)
             return new_state, {"loss": loss, "acc": acc}
 
-        self._train_step = jax.jit(
+        fn = jax.jit(
             step,
             donate_argnums=(0,),
             in_shardings=(
                 self._state_shardings,
-                {k: self._batch_shard for k in ("browsed_ids", "candidate_ids")},
+                self._batch_shardings(batch),
                 {k: self._repl for k in self.news_feats},
                 self._repl,
             ),
             out_shardings=(self._state_shardings, self._repl),
         )
-        return self._train_step
+        self._score_fns.setdefault("_steps", {})[key] = fn
+        return fn
 
     def run_step(self, state, batch_np, rng):
-        batch = jax.device_put(
-            {k: jnp.asarray(v) for k, v in batch_np.items()}, self._batch_shard)
-        return self.train_step_fn()(state, batch, self.news_feats, rng)
+        fn = self.train_step_fn(batch_np)
+        shards = self._batch_shardings(batch_np)
+        batch = {k: jax.device_put(jnp.asarray(v), shards[k])
+                 for k, v in batch_np.items()}
+        return fn(state, batch, self.news_feats, rng)
 
     # ---- eval ----
     def score_fn(self) -> Callable:
@@ -173,6 +191,38 @@ class Trainer:
                     {"params": params}, batch, news_feats, deterministic=True)
             self._score_fns[key] = jax.jit(score)
         return self._score_fns[key]
+
+    def compute_news_vectors(self, params) -> jax.Array:
+        """Encode the ENTIRE news corpus once (chunked) -> ``[N, D]`` table.
+
+        This is the two-tower serving/eval path: the reference re-encodes up
+        to 300 candidates per impression at eval (``train_eval.py:240-242``);
+        here every news is encoded exactly once per evaluation."""
+        chunk = self.cfg.train.eval_encode_chunk
+        if "encode_chunk" not in self._score_fns:
+            def enc(params, titles):
+                return self.model.apply(
+                    {"params": params}, titles, True, method="encode_news")
+            self._score_fns["encode_chunk"] = jax.jit(enc)
+        enc = self._score_fns["encode_chunk"]
+        titles = self.news_feats["title"]
+        n = titles.shape[0]
+        outs = []
+        for s in range(0, n, chunk):
+            t = titles[s:s + chunk]
+            if t.shape[0] < chunk:
+                t = jnp.pad(t, ((0, chunk - t.shape[0]), (0, 0)))
+            outs.append(enc(params, t))
+        return jnp.concatenate(outs, axis=0)[:n]
+
+    def score_from_vecs_fn(self) -> Callable:
+        if "score_vecs" not in self._score_fns:
+            def score(params, batch, news_vecs):
+                return self.model.apply(
+                    {"params": params}, batch, news_vecs,
+                    method="score_from_vecs")
+            self._score_fns["score_vecs"] = jax.jit(score)
+        return self._score_fns["score_vecs"]
 
     def evaluate(
         self,
@@ -188,8 +238,15 @@ class Trainer:
         assert data is not None, "no dev split"
         if max_impressions is None:
             max_impressions = self.cfg.train.max_dev_samples
-        score = self.score_fn()
         bs = self.cfg.train.eval_batch_size
+
+        two_tower = (self.cfg.train.eval_two_tower
+                     and hasattr(self.model, "score_from_vecs"))
+        if two_tower:
+            news_vecs = self.compute_news_vectors(params)
+            score_v = self.score_from_vecs_fn()
+        else:
+            score = self.score_fn()
 
         all_scores: Dict[int, np.ndarray] = {}
         for eb in eval_batches(data, bs, self.cfg.data.eval_buckets,
@@ -198,7 +255,10 @@ class Trainer:
             batch = jax.device_put(
                 {k: jnp.asarray(v) for k, v in padded.items()},
                 self._batch_shard)
-            s = np.asarray(score(params, batch, self.news_feats))[:b]
+            if two_tower:
+                s = np.asarray(score_v(params, batch, news_vecs))[:b]
+            else:
+                s = np.asarray(score(params, batch, self.news_feats))[:b]
             for j, imp in enumerate(eb.impression_ids):
                 all_scores[int(imp)] = s[j, : eb.n_candidates[j]]
 
@@ -252,7 +312,8 @@ class Trainer:
 
         for epoch in range(epochs):
             for batch in train_batches(self.dataset.train,
-                                       cfg.train.batch_size, shuffle_rng):
+                                       cfg.train.batch_size, shuffle_rng,
+                                       dedup=cfg.train.dedup_batches):
                 state, metrics = self.run_step(state, batch, rng)
                 step_i += 1
                 if step_i % cfg.train.log_every == 0:
