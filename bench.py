@@ -109,8 +109,10 @@ def main():
 
         def loss_fn(params):
             def enc(t):
+                # dropout active, like our path (fair comparison)
                 return model.apply(
-                    {"params": params}, t, True, method="encode_news")
+                    {"params": params}, t, False, method="encode_news",
+                    rngs={"dropout": drng})
             cand_vecs = jnp.stack(
                 [enc(cand_titles[:, j]) for j in range(S)], axis=1)
             browsed_vecs = jnp.stack(

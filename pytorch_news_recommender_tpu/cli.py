@@ -1,0 +1,274 @@
+"""Command-line entry point.
+
+Replaces the reference's ``run_v0.py`` / ``run_demo.py`` argparse mains
+(``MIND_2020/run_v0.py:15-112``) with subcommands over the same lifecycle:
+
+* ``preprocess`` — MIND TSVs -> columnar artifacts (reference
+  ``data_processor.py`` ``__main__``);
+* ``train``      — train + periodic dev eval + best-AUC checkpointing
+  (reference ``train(...)``, ``train_eval.py:35-153``);
+* ``eval``       — impression-level AUC/MRR/nDCG@5/10 on a split from a
+  checkpoint (reference ``evaluate``, ``train_eval.py:229-273``);
+* ``submit``     — test-set rank file (reference ``test``,
+  ``train_eval.py:300-341``);
+* ``models``     — list the registry (reference's dynamic import had no
+  listing, ``model/__init__.py:22``).
+
+Flag parity notes: ``--model``/``--dataset``/``--load``/``--description``
+mirror ``run_v0.py:15-28``. The reference forces ``sample_size=15`` for the
+listwise re-ranker (``run_v0.py:44-45``) — ``train`` applies the same default
+for ``list_rank`` unless ``--sample-size`` is given. ``--n_GPUs`` has no
+analogue: parallelism is the device mesh (``--model-parallel``).
+
+Usage: ``python -m pytorch_news_recommender_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import pathlib
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data", required=True,
+                   help="artifact dir from `preprocess`, or 'synthetic'")
+    p.add_argument("--model", default="nrms",
+                   help="model family (see `models` command)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--eval-batch-size", type=int, default=None)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable fused Pallas kernels (pure-XLA path)")
+    p.add_argument("--compute-dtype", default=None,
+                   help="bfloat16 (default on TPU) or float32")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="model-axis size of the device mesh")
+
+
+def _load_dataset(args, cfg):
+    if args.data == "synthetic":
+        from pytorch_news_recommender_tpu.data import synthetic
+        return synthetic.generate(cfg.data, seed=0, bert_dim=64, n_users=200,
+                                  n_neighbors=8, n_test=64)
+    from pytorch_news_recommender_tpu.data.dataset import RecDataset
+    return RecDataset.load(args.data)
+
+
+def _build_config(args, sample_size=None):
+    from pytorch_news_recommender_tpu.config import (
+        Config, DataConfig, MeshConfig, ModelConfig, TrainConfig,
+        synthetic_config,
+    )
+    if args.data == "synthetic":
+        cfg = synthetic_config()
+        d = cfg.to_dict()
+    else:
+        d = Config().to_dict()
+    d["model"]["name"] = args.model
+    if args.no_pallas:
+        d["model"]["use_pallas"] = False
+    if args.compute_dtype:
+        d["model"]["compute_dtype"] = args.compute_dtype
+    if args.batch_size:
+        d["train"]["batch_size"] = args.batch_size
+    if args.eval_batch_size:
+        d["train"]["eval_batch_size"] = args.eval_batch_size
+    d["mesh"]["model_parallel_size"] = args.model_parallel
+    if sample_size is not None:
+        d["data"]["sample_size"] = sample_size
+    if getattr(args, "description", None):
+        d["description"] = args.description
+    return Config.from_dict(d)
+
+
+def cmd_preprocess(args) -> int:
+    from pytorch_news_recommender_tpu.config import DataConfig
+    from pytorch_news_recommender_tpu.data import mind
+
+    cfg = DataConfig(
+        history_len=args.history_len, sample_size=args.sample_size,
+        min_history=args.min_history, entity_nums=args.entity_nums,
+    )
+    ds = mind.build_dataset(
+        cfg,
+        train_dir=args.train_dir,
+        dev_dir=args.dev_dir,
+        test_dir=args.test_dir,
+        glove_path=args.glove,
+        word_embed_size=args.word_embed_size,
+        bert_npz=args.bert_npz,
+        news_graph_neighbors=args.graph_neighbors,
+        seed=args.seed,
+        out_dir=args.out,
+    )
+    print(f"wrote artifacts to {args.out}: {ds.meta.to_json()}")
+    return 0
+
+
+def cmd_preprocess_adressa(args) -> int:
+    from pytorch_news_recommender_tpu.config import DataConfig
+    from pytorch_news_recommender_tpu.data import adressa
+
+    cfg = DataConfig(
+        history_len=args.history_len, sample_size=args.sample_size,
+        min_history=args.min_history,
+    )
+    ds = adressa.build_dataset(
+        cfg, args.events, train_fraction=args.train_fraction,
+        dev_negatives=args.dev_negatives, seed=args.seed, out_dir=args.out)
+    print(f"wrote artifacts to {args.out}: {ds.meta.to_json()}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from pytorch_news_recommender_tpu.train.checkpoint import CheckpointManager
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+    from pytorch_news_recommender_tpu.utils.logging import JsonlLogger
+
+    sample_size = args.sample_size
+    if sample_size is None and args.model == "list_rank":
+        sample_size = 15  # reference run_v0.py:44-45
+    cfg = _build_config(args, sample_size)
+    if args.epochs is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, num_epochs=args.epochs))
+    ds = _load_dataset(args, cfg)
+    trainer = Trainer(cfg, ds)
+    state = trainer.init_state(seed=args.seed)
+
+    save_dir = pathlib.Path(args.save_dir) / cfg.model.name
+    mngr = CheckpointManager(save_dir, cfg)
+    if args.load:
+        state = CheckpointManager(args.load).restore(state)
+        print(f"restored checkpoint from {args.load} "
+              f"(step {int(state.step)})", file=sys.stderr)
+
+    log = JsonlLogger(save_dir / "metrics.jsonl")
+
+    def ckpt_cb(state, metrics, step):
+        mngr.save(step, state, metrics)
+
+    state, history = trainer.fit(state, log_fn=log, checkpoint_cb=ckpt_cb)
+    if ds.dev is not None and len(ds.dev):
+        final = trainer.evaluate(state)
+        log({"tag": "final", **final})
+        if mngr.latest_step() is None:
+            # dev AUC never beat the checkpoint floor (train_eval.py:59):
+            # keep the final state anyway so eval/submit have something
+            mngr.save(int(state.step), state, final)
+    mngr.close()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from pytorch_news_recommender_tpu.train.checkpoint import (
+        CheckpointManager, load_config,
+    )
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    cfg = load_config(args.ckpt)
+    ds = _load_dataset(args, cfg)
+    trainer = Trainer(cfg, ds)
+    state = CheckpointManager(args.ckpt).restore(trainer.init_state())
+    split = ds.test if args.split == "test" else ds.dev
+    m = trainer.evaluate(state, split=split,
+                         max_impressions=args.max_impressions)
+    import json
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_submit(args) -> int:
+    from pytorch_news_recommender_tpu.train.checkpoint import (
+        CheckpointManager, load_config,
+    )
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+    from pytorch_news_recommender_tpu.train.submit import write_submission
+
+    cfg = load_config(args.ckpt)
+    ds = _load_dataset(args, cfg)
+    trainer = Trainer(cfg, ds)
+    state = CheckpointManager(args.ckpt).restore(trainer.init_state())
+    path = write_submission(trainer, state, path=args.out)
+    print(f"saved to {path}")
+    return 0
+
+
+def cmd_models(args) -> int:
+    from pytorch_news_recommender_tpu.models import available_models
+    for name in available_models():
+        print(name)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="pytorch_news_recommender_tpu",
+        description="TPU-native news recommendation framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("preprocess", help="MIND TSVs -> columnar artifacts")
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--dev-dir", required=True)
+    p.add_argument("--test-dir", default=None)
+    p.add_argument("--glove", default=None, help="GloVe vectors txt")
+    p.add_argument("--word-embed-size", type=int, default=300)
+    p.add_argument("--bert-npz", default=None,
+                   help="precomputed per-news sentence vectors (npz)")
+    p.add_argument("--graph-neighbors", type=int, default=0,
+                   help="build co-click news graph with this fan-out")
+    p.add_argument("--history-len", type=int, default=50)
+    p.add_argument("--sample-size", type=int, default=5)
+    p.add_argument("--min-history", type=int, default=5)
+    p.add_argument("--entity-nums", type=int, default=10)
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("preprocess-adressa",
+                       help="Adressa event JSONL -> columnar artifacts")
+    p.add_argument("--events", nargs="+", required=True,
+                   help="event JSONL file(s)")
+    p.add_argument("--train-fraction", type=float, default=0.9)
+    p.add_argument("--dev-negatives", type=int, default=20)
+    p.add_argument("--history-len", type=int, default=50)
+    p.add_argument("--sample-size", type=int, default=5)
+    p.add_argument("--min-history", type=int, default=5)
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_preprocess_adressa)
+
+    p = sub.add_parser("train", help="train + eval + checkpoint")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--sample-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=422)  # run_v0.py:33-41
+    p.add_argument("--save-dir", default="save_model")
+    p.add_argument("--load", default=None, help="checkpoint dir to resume")
+    p.add_argument("--description", default="")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="evaluate a checkpoint on dev/test")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--split", choices=("dev", "test"), default="dev")
+    p.add_argument("--max-impressions", type=int, default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("submit", help="write MIND leaderboard rank file")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_submit)
+
+    p = sub.add_parser("models", help="list registered model families")
+    p.set_defaults(fn=cmd_models)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

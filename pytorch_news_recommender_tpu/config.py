@@ -63,9 +63,11 @@ class ModelConfig:
     name: str = "nrms"
     # artifact-derived (0 means "must be set from artifact metadata")
     n_words: int = 0
+    n_news: int = 0
     category_nums: int = 0
     subcategory_nums: int = 0
     entity_nums: int = 0
+    n_users: int = 0
     # embedding dims
     word_embed_size: int = 300
     cate_embed_size: int = 100
@@ -83,6 +85,13 @@ class ModelConfig:
     list_num_heads: int = 8
     list_ff_dim: int = 512
     list_layers: int = 1
+    list_title_size: int = 512          # reference title_size (config.py:66)
+    # nrms_bert
+    bert_trainable: bool = True         # reference freeze=False (nrms.py:222-224)
+    # lstur
+    long_short_term_method: str = "ini"  # 'ini' | 'con' (lstur.py:112-142)
+    # disan
+    disan_hidden: int = 0               # 0 -> word_embed_size
     # hierec
     n_interests: int = 8
     # gnn
@@ -99,9 +108,11 @@ class ModelConfig:
         return dataclasses.replace(
             self,
             n_words=meta.n_words,
+            n_news=meta.n_news,
             category_nums=meta.category_nums,
             subcategory_nums=meta.subcategory_nums,
             entity_nums=meta.entity_nums,
+            n_users=meta.n_users,
         )
 
 
@@ -213,6 +224,7 @@ class ArtifactMeta:
     category_nums: int
     subcategory_nums: int
     entity_nums: int = 0
+    n_users: int = 0
     n_train_samples: int = 0
     n_dev_impressions: int = 0
     n_test_impressions: int = 0
@@ -260,8 +272,13 @@ def synthetic_config(**overrides) -> Config:
         user_heads_num=4,
         word_embed_size=64,
         query_vector_dim=32,
+        query_vector_dim_large=48,
         cate_embed_size=16,
+        bert_embed_size=64,
         num_filters=32,
+        list_ff_dim=64,
+        list_num_heads=4,
+        list_title_size=64,
         compute_dtype="float32",
         use_pallas=False,
     )

@@ -37,6 +37,7 @@ class NewsFeatures:
     subcateg: Optional[np.ndarray] = None  # [N] int32
     bert: Optional[np.ndarray] = None   # [N, bert_dim] float32
     entity: Optional[np.ndarray] = None  # [N, E] int32 entity ids per news
+    neighbors: Optional[np.ndarray] = None  # [N, K] int32 graph neighbor ids
 
     @property
     def n_news(self) -> int:
@@ -52,6 +53,7 @@ class TrainData:
 
     browsed_ids: np.ndarray     # [n, H] int32, 0-padded (most-recent last)
     candidate_ids: np.ndarray   # [n, 1+K] int32, positive at slot 0
+    user_ids: Optional[np.ndarray] = None  # [n] int32 (0 = unknown user)
 
     def __len__(self) -> int:
         return self.browsed_ids.shape[0]
@@ -65,6 +67,8 @@ class DevData:
     cand_flat: np.ndarray       # [sum_i c_i] int32 news ids
     label_flat: np.ndarray      # [sum_i c_i] int8 click labels
     offsets: np.ndarray         # [m+1] int64 into cand_flat/label_flat
+    user_ids: Optional[np.ndarray] = None  # [m] int32 (0 = unknown user)
+    impression_keys: Optional[np.ndarray] = None  # [m] original impression ids
 
     def __len__(self) -> int:
         return self.browsed_ids.shape[0]
@@ -90,21 +94,36 @@ class RecDataset:
     dev: Optional[DevData]
     test: Optional[DevData]  # labels all-zero for test (unknown)
     meta: ArtifactMeta
+    # pretrained tables used to initialize model parameters (not per-news
+    # features): GloVe word matrix (row 0 = pad, ``data_processor.py:67-97``)
+    # and the entity matrix (``tools.py:30-48``)
+    word_embeddings: Optional[np.ndarray] = None    # [n_words, D] float32
+    entity_embeddings: Optional[np.ndarray] = None  # [n_entities, D] float32
 
     # ---- persistence (npz + json metadata; replaces the reference's
     # convention-keyed pickles, ``data_processor.py:498-503``) ----
     def save(self, path: str | pathlib.Path) -> None:
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        def drop_none(d):
+            return {k: v for k, v in d.items() if v is not None}
+
         np.savez_compressed(path / "news.npz", **self.news.as_dict())
         if self.train is not None:
             np.savez_compressed(path / "train.npz",
-                                **dataclasses.asdict(self.train))
+                                **drop_none(dataclasses.asdict(self.train)))
         for split_name in ("dev", "test"):
             split = getattr(self, split_name)
             if split is not None:
                 np.savez_compressed(path / f"{split_name}.npz",
-                                    **dataclasses.asdict(split))
+                                    **drop_none(dataclasses.asdict(split)))
+        pretrained = {}
+        if self.word_embeddings is not None:
+            pretrained["word"] = self.word_embeddings
+        if self.entity_embeddings is not None:
+            pretrained["entity"] = self.entity_embeddings
+        if pretrained:
+            np.savez_compressed(path / "pretrained.npz", **pretrained)
         self.meta.save(path / "meta.json")
 
     @classmethod
@@ -120,10 +139,19 @@ class RecDataset:
                 return None
             return tp(**dict(np.load(p)))
 
+        word_emb = entity_emb = None
+        pre = path / "pretrained.npz"
+        if pre.exists():
+            with np.load(pre) as z:
+                word_emb = z["word"] if "word" in z.files else None
+                entity_emb = z["entity"] if "entity" in z.files else None
+
         return cls(
             news=news,
             train=load_split("train", TrainData),
             dev=load_split("dev", DevData),
             test=load_split("test", DevData),
             meta=meta,
+            word_embeddings=word_emb,
+            entity_embeddings=entity_emb,
         )

@@ -25,7 +25,8 @@ from pytorch_news_recommender_tpu.data.dataset import DevData, TrainData
 Batch = Dict[str, np.ndarray]
 
 
-DEFAULT_UNIQUE_BUCKETS = (1024, 2048, 4096, 8192, 16384, 32768)
+DEFAULT_UNIQUE_BUCKETS = (1024, 2048, 3072, 4096, 6144, 8192, 12288,
+                          16384, 24576, 32768)
 
 
 def dedup_batch(batch: Batch,
@@ -33,15 +34,21 @@ def dedup_batch(batch: Batch,
     """Rewrite a batch in deduplicated form.
 
     A training batch references ``B*(H+S)`` news slots but most are the pad
-    news or repeats (popular news, overlapping histories). The reference
-    encodes every slot (``nrms_v1.py:263-268``); here the model encodes each
-    distinct news once: the batch carries the sorted ``unique_ids`` (slot 0 is
-    always the pad news 0) plus inverse indices, and the encoder output is
-    gathered back. Unique count is padded up to a bucket size so XLA sees a
-    few static shapes.
+    news or repeats (popular news, overlapping histories — MIND click
+    popularity is heavily Zipfian). The reference encodes every slot
+    (``nrms_v1.py:263-268``); here the model encodes each distinct news once:
+    the batch carries the sorted ``unique_ids`` (slot 0 is always the pad
+    news 0) plus inverse indices, and the encoder output is gathered back.
+    Unique count is padded up to a bucket size so XLA sees a few static
+    shapes.
+
+    When the bucketed unique width wouldn't actually reduce encoder work
+    (uniform random ids, tiny batches), the batch is returned in DIRECT form
+    — the model contract accepts either, so the fast form wins per batch.
     """
     browsed = batch["browsed_ids"]
     cand = batch["candidate_ids"]
+    n_slots = browsed.size + cand.size
     all_ids = np.concatenate(
         [np.zeros(1, browsed.dtype), browsed.ravel(), cand.ravel()])
     uniq, inv = np.unique(all_ids, return_inverse=True)
@@ -49,14 +56,21 @@ def dedup_batch(batch: Batch,
     width = next((b for b in buckets if u <= b), None)
     if width is None:
         width = int(np.ceil(u / buckets[-1])) * buckets[-1]
+    if width >= n_slots:
+        return batch  # dedup would not shrink the encoder workload
     unique_ids = np.zeros(width, browsed.dtype)
     unique_ids[:u] = uniq
     nb = browsed.size
-    return {
+    out = {
         "unique_ids": unique_ids,
         "browsed_idx": inv[1:1 + nb].reshape(browsed.shape).astype(np.int32),
         "candidate_idx": inv[1 + nb:].reshape(cand.shape).astype(np.int32),
     }
+    # non-news keys (user_ids, ...) pass through untouched
+    for k, v in batch.items():
+        if k not in ("browsed_ids", "candidate_ids"):
+            out[k] = v
+    return out
 
 
 def train_batches(
@@ -85,6 +99,8 @@ def train_batches(
             "browsed_ids": data.browsed_ids[idx],
             "candidate_ids": data.candidate_ids[idx],
         }
+        if data.user_ids is not None:
+            batch["user_ids"] = data.user_ids[idx]
         yield dedup_batch(batch, unique_buckets) if dedup else batch
 
 
@@ -135,14 +151,13 @@ def eval_batches(
             for j, i in enumerate(idx):
                 c_ids, _ = data.impression(int(i))
                 cand[j, : ncand[j]] = c_ids[: ncand[j]]
-            yield EvalBatch(
-                batch={
-                    "browsed_ids": data.browsed_ids[idx],
-                    "candidate_ids": cand,
-                },
-                impression_ids=idx,
-                n_candidates=ncand,
-            )
+            eb = {
+                "browsed_ids": data.browsed_ids[idx],
+                "candidate_ids": cand,
+            }
+            if data.user_ids is not None:
+                eb["user_ids"] = data.user_ids[idx]
+            yield EvalBatch(batch=eb, impression_ids=idx, n_candidates=ncand)
 
 
 def pad_batch(batch: Batch, to_size: int) -> tuple[Batch, int]:

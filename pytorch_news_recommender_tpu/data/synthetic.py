@@ -36,7 +36,15 @@ def generate(
     n_dev: int = 256,
     n_test: int = 0,
     dev_cands_range: tuple[int, int] = (5, 30),
+    bert_dim: int = 0,
+    n_users: int = 0,
+    n_neighbors: int = 0,
+    popularity_skew: float = 1.0,
 ) -> RecDataset:
+    """``popularity_skew`` > 0 draws clicks Zipf-like (weight ~ 1/rank^a)
+    within each topic pool, matching MIND's heavy-tailed click popularity —
+    this is what makes batch news-deduplication (``loader.dedup_batch``)
+    representative; 0 = uniform."""
     rng = np.random.default_rng(seed)
     H, L_t, L_a = cfg.history_len, cfg.n_words_title, cfg.n_words_abst
     K = cfg.sample_size
@@ -64,35 +72,88 @@ def generate(
         categ[i] = 1 + topics[i] % (n_categories - 1)
         subcateg[i] = 1 + topics[i] % (n_subcategories - 1)
 
+    # optional per-news BERT-like vectors: topic centroid + noise (plays the
+    # role of the reference's bert-as-service sentence vectors,
+    # ``data_processor.py:45-65``)
+    bert = None
+    if bert_dim:
+        centroids = rng.normal(size=(n_topics, bert_dim))
+        bert = (centroids[topics] + 0.3 * rng.normal(
+            size=(n_news + 1, bert_dim))).astype(np.float32)
+        bert[0] = 0.0
+
     news_by_topic = [np.where(topics[1:] == t)[0] + 1 for t in range(n_topics)]
+    # Zipf-like click weights per topic pool (popular news dominate clicks)
+    weights_by_topic = []
+    for pool in news_by_topic:
+        if popularity_skew > 0 and len(pool):
+            w = 1.0 / np.arange(1, len(pool) + 1) ** popularity_skew
+            weights_by_topic.append(w / w.sum())
+        else:
+            weights_by_topic.append(None)
+
+    def draw_clicks(prefs, size):
+        """Sample clicked news from the union of preferred-topic pools with
+        per-topic popularity weights."""
+        pool = np.concatenate([news_by_topic[p] for p in prefs])
+        if popularity_skew > 0:
+            w = np.concatenate([weights_by_topic[p] for p in prefs])
+            w = w / w.sum()
+            return rng.choice(pool, size=size, p=w)
+        return rng.choice(pool, size=size)
+
+    # optional co-click-style neighbor lists: same-topic news (plays the role
+    # of an offline news-news graph for the GNN family); row 0 = pad news.
+    neighbors = None
+    if n_neighbors:
+        neighbors = np.zeros((n_news + 1, n_neighbors), dtype=np.int32)
+        for i in range(1, n_news + 1):
+            pool = news_by_topic[topics[i]]
+            neighbors[i] = rng.choice(pool, size=n_neighbors)
+
+    # optional persistent user identities (uid 0 = pad/unknown); each user has
+    # fixed topic preferences, so LSTUR-style long-term user embeddings have
+    # signal to learn.
+    user_prefs = None
+    if n_users:
+        user_prefs = [rng.choice(n_topics, size=2, replace=False)
+                      for _ in range(n_users + 1)]
 
     def sample_user():
-        prefs = rng.choice(n_topics, size=2, replace=False)
+        if n_users:
+            uid = int(rng.integers(1, n_users + 1))
+            prefs = user_prefs[uid]
+        else:
+            uid = 0
+            prefs = rng.choice(n_topics, size=2, replace=False)
         hist_len = int(rng.integers(cfg.min_history, H + 1))
-        pool = np.concatenate([news_by_topic[p] for p in prefs])
-        hist = rng.choice(pool, size=hist_len)
+        hist = draw_clicks(prefs, hist_len)
         browsed = np.zeros(H, dtype=np.int32)
         browsed[H - hist_len:] = hist  # most-recent last, left-padded
-        return prefs, pool, browsed
+        return uid, prefs, browsed
 
     # --- train: 1 positive + K uniform negatives, positive at slot 0 ---
     tr_browsed = np.zeros((n_train, H), dtype=np.int32)
     tr_cands = np.zeros((n_train, 1 + K), dtype=np.int32)
+    tr_users = np.zeros(n_train, dtype=np.int32)
     for i in range(n_train):
-        _, pool, browsed = sample_user()
+        uid, prefs, browsed = sample_user()
         tr_browsed[i] = browsed
-        tr_cands[i, 0] = rng.choice(pool)
+        tr_users[i] = uid
+        tr_cands[i, 0] = draw_clicks(prefs, 1)[0]
         tr_cands[i, 1:] = rng.integers(1, n_news + 1, size=K)
 
     def make_eval(m: int, with_labels: bool) -> DevData:
         browsed = np.zeros((m, H), dtype=np.int32)
+        user_ids = np.zeros(m, dtype=np.int32)
         cand_chunks, label_chunks, offsets = [], [], [0]
         for i in range(m):
-            _, pool, b = sample_user()
+            uid, prefs, b = sample_user()
             browsed[i] = b
+            user_ids[i] = uid
             c = int(rng.integers(*dev_cands_range))
             n_pos = max(1, int(rng.integers(1, max(2, c // 4))))
-            pos = rng.choice(pool, size=n_pos)
+            pos = draw_clicks(prefs, n_pos)
             neg = rng.integers(1, n_news + 1, size=c - n_pos)
             cands = np.concatenate([pos, neg]).astype(np.int32)
             labels = np.concatenate(
@@ -107,6 +168,7 @@ def generate(
             cand_flat=np.concatenate(cand_chunks),
             label_flat=np.concatenate(label_chunks),
             offsets=np.asarray(offsets, dtype=np.int64),
+            user_ids=user_ids if n_users else None,
         )
 
     dev = make_eval(n_dev, with_labels=True)
@@ -118,13 +180,16 @@ def generate(
         category_nums=n_categories,
         subcategory_nums=n_subcategories,
         entity_nums=0,
+        n_users=(n_users + 1) if n_users else 0,
         n_train_samples=n_train,
         n_dev_impressions=n_dev,
         n_test_impressions=n_test,
     )
     return RecDataset(
-        news=NewsFeatures(title=title, abst=abst, categ=categ, subcateg=subcateg),
-        train=TrainData(browsed_ids=tr_browsed, candidate_ids=tr_cands),
+        news=NewsFeatures(title=title, abst=abst, categ=categ,
+                          subcateg=subcateg, bert=bert, neighbors=neighbors),
+        train=TrainData(browsed_ids=tr_browsed, candidate_ids=tr_cands,
+                        user_ids=tr_users if n_users else None),
         dev=dev,
         test=test,
         meta=meta,

@@ -43,6 +43,8 @@ def build_model(cfg: ModelConfig) -> nn.Module:
 
 # ---- registrations (import order defines the public model list) ----
 from pytorch_news_recommender_tpu.models.nrms import NRMS
+from pytorch_news_recommender_tpu.models.naml import NAML
+from pytorch_news_recommender_tpu.models.nrms_bert import NRMSBert
 
 
 @register("nrms")
@@ -50,4 +52,50 @@ def _nrms(cfg: ModelConfig) -> nn.Module:
     return NRMS(cfg)
 
 
-__all__ = ["build_model", "available_models", "register", "NRMS"]
+@register("naml")
+def _naml(cfg: ModelConfig) -> nn.Module:
+    return NAML(cfg)
+
+
+@register("nrms_bert")
+def _nrms_bert(cfg: ModelConfig) -> nn.Module:
+    return NRMSBert(cfg)
+
+
+from pytorch_news_recommender_tpu.models.list_rank import ListRank
+from pytorch_news_recommender_tpu.models.lstur import LSTUR
+
+
+@register("list_rank")
+def _list_rank(cfg: ModelConfig) -> nn.Module:
+    return ListRank(cfg)
+
+
+@register("lstur")
+def _lstur(cfg: ModelConfig) -> nn.Module:
+    return LSTUR(cfg)
+
+
+from pytorch_news_recommender_tpu.models.disan import DiSANRec
+from pytorch_news_recommender_tpu.models.gnn import GNNRec
+from pytorch_news_recommender_tpu.models.hierec import HieRec
+
+
+@register("disan")
+def _disan(cfg: ModelConfig) -> nn.Module:
+    return DiSANRec(cfg)
+
+
+@register("hierec")
+def _hierec(cfg: ModelConfig) -> nn.Module:
+    return HieRec(cfg)
+
+
+@register("gnn")
+def _gnn(cfg: ModelConfig) -> nn.Module:
+    return GNNRec(cfg)
+
+
+__all__ = ["build_model", "available_models", "register",
+           "NRMS", "NAML", "NRMSBert", "ListRank", "LSTUR",
+           "DiSANRec", "HieRec", "GNNRec"]

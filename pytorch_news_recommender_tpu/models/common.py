@@ -1,0 +1,140 @@
+"""Shared model base + plumbing for all recommender families.
+
+Every model in the registry follows the same calling convention (see
+``models/__init__.py``): ``__call__(batch, news_feats, deterministic)`` with
+id-only batches, plus a two-tower serving API. :class:`RecModel` implements
+the shared skeleton; a concrete family only defines
+
+* ``encode_news_feats(feats, deterministic)`` — per-news feature dict with an
+  arbitrary leading shape -> news vectors (the news tower), and/or override
+  ``encode_news_ids`` when the tower owns a trainable per-news table
+  (NRMS-BERT);
+* ``score_impression(batch, browsed_ids, cand_ids, browsed_vecs, cand_vecs,
+  deterministic)`` — the user tower + scoring head.
+
+The base resolves the two batch forms:
+
+* direct batches carry ``browsed_ids [B, H]`` / ``candidate_ids [B, S]``;
+* deduplicated batches (``loader.dedup_batch``) carry ``unique_ids [U]`` plus
+  inverse indices, so each distinct news in the batch is encoded exactly once
+  (the reference encodes every slot separately,
+  ``/root/reference/MIND_2020/model/nrms_v1.py:263-268``).
+
+Feature gathers happen on device from the resident ``news_feats`` tables —
+the host never re-assembles ``[B, 50, 20]`` word tensors per step like the
+reference's ``data_handler.py:185-250``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Batch = Dict[str, jax.Array]
+
+
+def gather_feats(news_feats: Batch, keys: Tuple[str, ...],
+                 ids: jax.Array) -> Batch:
+    """Gather per-news feature rows for ``ids`` with any leading shape."""
+    return {k: jnp.take(news_feats[k], ids, axis=0) for k in keys}
+
+
+class RecModel(nn.Module):
+    """Base class: id-resolution skeleton shared by every model family."""
+
+    # Which ``news_feats`` tables the news tower consumes (class constant on
+    # each family — intentionally NOT annotated, so flax's dataclass
+    # transform leaves it alone).
+    FEAT_KEYS = ("title",)
+
+    # ---- news tower ----
+    def encode_news_feats(self, feats: Batch,
+                          deterministic: bool = True) -> jax.Array:
+        """``{feat: [..., ...]}`` -> ``[..., D]`` news vectors."""
+        raise NotImplementedError
+
+    def encode_news_ids(self, ids: jax.Array, news_feats: Batch,
+                        deterministic: bool = True) -> jax.Array:
+        """``[...]`` int news ids -> ``[..., D]`` news vectors.
+
+        Default: gather ``FEAT_KEYS`` rows on device, run the feature tower.
+        Models with trainable per-news tables (NRMS-BERT) override this.
+        """
+        return self.encode_news_feats(
+            gather_feats(news_feats, self.FEAT_KEYS, ids), deterministic)
+
+    # ---- user tower + scoring head ----
+    def score_impression(
+        self,
+        batch: Batch,
+        browsed_ids: jax.Array,    # [B, H] int32 (0 = pad)
+        cand_ids: jax.Array,       # [B, S] int32 (0 = pad)
+        browsed_vecs: jax.Array,   # [B, H, D]
+        cand_vecs: jax.Array,      # [B, S, D]
+        news_feats: Batch | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Encoded impression -> ``[B, S]`` float32 scores (pads at -1e9).
+
+        ``news_feats`` is provided so heads that condition on side features
+        (e.g. HieRec's category-indexed interests) can gather them by id;
+        dot-product heads ignore it.
+        """
+        raise NotImplementedError
+
+    # ---- shared skeleton ----
+    def resolve_batch(
+        self, batch: Batch, news_feats: Batch, deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Resolve a (direct or deduplicated) batch into
+        ``(browsed_ids, cand_ids, browsed_vecs, cand_vecs)``."""
+        if "unique_ids" in batch:
+            unique_ids = batch["unique_ids"]                       # [U]
+            uvecs = self.encode_news_ids(unique_ids, news_feats, deterministic)
+            browsed_ids = jnp.take(unique_ids, batch["browsed_idx"], axis=0)
+            cand_ids = jnp.take(unique_ids, batch["candidate_idx"], axis=0)
+            browsed_vecs = jnp.take(uvecs, batch["browsed_idx"], axis=0)
+            cand_vecs = jnp.take(uvecs, batch["candidate_idx"], axis=0)
+        else:
+            browsed_ids = batch["browsed_ids"]
+            cand_ids = batch["candidate_ids"]
+            H = browsed_ids.shape[1]
+            all_ids = jnp.concatenate([browsed_ids, cand_ids], axis=1)
+            vecs = self.encode_news_ids(all_ids, news_feats, deterministic)
+            browsed_vecs, cand_vecs = vecs[:, :H], vecs[:, H:]
+        return browsed_ids, cand_ids, browsed_vecs, cand_vecs
+
+    def __call__(self, batch: Batch, news_feats: Batch,
+                 deterministic: bool = True) -> jax.Array:
+        """Score candidates for each impression.
+
+        Args:
+          batch: either direct form — ``browsed_ids [B, H]``,
+            ``candidate_ids [B, S]`` int32 news indices (0 = pad; real news
+            start at 1 as in the reference's ``+1`` index mapping,
+            ``data_handler.py:60-66``) — or deduplicated form from
+            ``loader.dedup_batch``.
+          news_feats: device-resident per-news feature tables.
+        Returns:
+          ``[B, S]`` float32 scores, padded candidates at ``-1e9``.
+        """
+        b_ids, c_ids, b_vecs, c_vecs = self.resolve_batch(
+            batch, news_feats, deterministic)
+        return self.score_impression(batch, b_ids, c_ids, b_vecs, c_vecs,
+                                     news_feats, deterministic)
+
+    def score_from_vecs(self, batch: Batch, news_vecs: jax.Array,
+                        news_feats: Batch | None = None) -> jax.Array:
+        """Two-tower fast path: look impression vectors up from a precomputed
+        corpus table (reference two-tower API ``nrms_v0.py:278-312``, but with
+        the whole corpus encoded once instead of re-encoding 300 candidates
+        per impression)."""
+        browsed_ids = batch["browsed_ids"]
+        cand_ids = batch["candidate_ids"]
+        browsed_vecs = jnp.take(news_vecs, browsed_ids, axis=0)
+        cand_vecs = jnp.take(news_vecs, cand_ids, axis=0)
+        return self.score_impression(batch, browsed_ids, cand_ids,
+                                     browsed_vecs, cand_vecs, news_feats, True)

@@ -105,6 +105,25 @@ class WordEmbedding(nn.Module):
         return out
 
 
+class PadEmbedding(nn.Module):
+    """Embedding table with row 0 pinned to zero at lookup time — the
+    functional equivalent of torch's ``padding_idx=0`` (zero pad row AND zero
+    gradient for it; here pad contributions are masked out, so row 0's
+    gradient is identically zero). Used for category / subcategory / entity
+    tables (reference ``nrms_naml.py:104-105``)."""
+
+    num: int
+    dim: int
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        table = self.param("embedding", nn.initializers.normal(1.0),
+                           (self.num, self.dim))
+        out = jnp.take(table, ids, axis=0).astype(_dtype(self.compute_dtype))
+        return out * (ids != 0)[..., None].astype(out.dtype)
+
+
 def _uniform_pm(scale: float):
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -scale, scale)

@@ -18,21 +18,21 @@ TPU-first:
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from pytorch_news_recommender_tpu.config import ModelConfig
+from pytorch_news_recommender_tpu.models.common import Batch, RecModel
 from pytorch_news_recommender_tpu.models.layers import NewsEncoder, UserEncoder
 from pytorch_news_recommender_tpu.ops.attention import dot_product_scores
 
 
-class NRMS(nn.Module):
+class NRMS(RecModel):
     """Title-only batched NRMS."""
 
     cfg: ModelConfig
+
+    FEAT_KEYS = ("title",)
 
     def setup(self):
         c = self.cfg
@@ -68,60 +68,14 @@ class NRMS(nn.Module):
               cand_mask: jax.Array | None = None) -> jax.Array:
         return dot_product_scores(user_vec, cand_vecs, cand_mask)
 
-    def score_from_vecs(
-        self,
-        batch: Dict[str, jax.Array],
-        news_vecs: jax.Array,  # [N, D] precomputed via encode_news
-    ) -> jax.Array:
-        """Two-tower scoring from a cached news-vector table — the serving /
-        fast-eval path (reference ``nrms_v0.py:278-312`` semantics, but with
-        the whole corpus encoded once instead of re-encoding 300 candidates
-        per impression)."""
-        browsed_ids = batch["browsed_ids"]
-        cand_ids = batch["candidate_ids"]
-        browsed_vecs = jnp.take(news_vecs, browsed_ids, axis=0)
-        cand_vecs = jnp.take(news_vecs, cand_ids, axis=0)
+    # ---- RecModel contract ----
+    def encode_news_feats(self, feats: Batch,
+                          deterministic: bool = True) -> jax.Array:
+        return self.news_encoder(feats["title"], deterministic)
+
+    def score_impression(self, batch, browsed_ids, cand_ids, browsed_vecs,
+                         cand_vecs, news_feats=None,
+                         deterministic: bool = True) -> jax.Array:
         hist_mask = (browsed_ids != 0).astype(jnp.float32)
         user_vec = self.user_encoder(browsed_vecs, hist_mask)
         return dot_product_scores(user_vec, cand_vecs, (cand_ids != 0))
-
-    def __call__(
-        self,
-        batch: Dict[str, jax.Array],
-        news_feats: Dict[str, jax.Array],
-        deterministic: bool = True,
-    ) -> jax.Array:
-        """Score candidates for each impression.
-
-        Args:
-          batch: either direct form — ``browsed_ids [B, H]``,
-            ``candidate_ids [B, S]`` int32 news indices (0 = pad; real news
-            start at 1 as in the reference's ``+1`` index mapping,
-            ``data_handler.py:60-66``) — or deduplicated form from
-            ``loader.dedup_batch``: ``unique_ids [U]`` plus ``browsed_idx`` /
-            ``candidate_idx`` inverse indices, in which case each distinct
-            news in the batch is encoded exactly once.
-          news_feats: device-resident feature tables; uses ``title [N, L]``.
-        Returns:
-          ``[B, S]`` float32 scores, padded candidates at ``-1e9``.
-        """
-        if "unique_ids" in batch:
-            unique_ids = batch["unique_ids"]                        # [U]
-            titles = jnp.take(news_feats["title"], unique_ids, axis=0)
-            uvecs = self.news_encoder(titles, deterministic)        # [U, D]
-            browsed_ids = jnp.take(unique_ids, batch["browsed_idx"], axis=0)
-            cand_ids = jnp.take(unique_ids, batch["candidate_idx"], axis=0)
-            browsed_vecs = jnp.take(uvecs, batch["browsed_idx"], axis=0)
-            cand_vecs = jnp.take(uvecs, batch["candidate_idx"], axis=0)
-        else:
-            browsed_ids = batch["browsed_ids"]
-            cand_ids = batch["candidate_ids"]
-            H = browsed_ids.shape[1]
-            all_ids = jnp.concatenate([browsed_ids, cand_ids], axis=1)
-            titles = jnp.take(news_feats["title"], all_ids, axis=0)
-            vecs = self.news_encoder(titles, deterministic)         # [B, H+S, D]
-            browsed_vecs, cand_vecs = vecs[:, :H], vecs[:, H:]
-
-        hist_mask = (browsed_ids != 0).astype(jnp.float32)
-        user_vec = self.user_encoder(browsed_vecs, hist_mask)
-        return self.score(user_vec, cand_vecs, (cand_ids != 0))

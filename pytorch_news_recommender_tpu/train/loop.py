@@ -115,15 +115,47 @@ class Trainer:
 
         state_shape = jax.eval_shape(init_fn, rng)
         self._state_shardings = param_shardings(state_shape, self.mesh)
-        return jax.jit(init_fn, out_shardings=self._state_shardings)(rng)
+        state = jax.jit(init_fn, out_shardings=self._state_shardings)(rng)
+        return self._apply_pretrained(state)
+
+    def _apply_pretrained(self, state: TrainState) -> TrainState:
+        """Overwrite embedding parameters with the dataset's pretrained
+        matrices (GloVe words / entity vectors — the functional analogue of
+        the reference's ``Embedding.from_pretrained(freeze=False)``,
+        ``model/nrms.py:121-123``). Matching is by parameter path suffix +
+        exact shape, so models without the table are unaffected."""
+        ds = self.dataset
+        tables = {}
+        if ds.word_embeddings is not None:
+            tables["word_embedding/embedding"] = ds.word_embeddings
+        if ds.entity_embeddings is not None:
+            tables["entity_embedding/embedding"] = ds.entity_embeddings
+        if not tables:
+            return state
+
+        def maybe(path, leaf):
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+            for suffix, mat in tables.items():
+                if name.endswith(suffix) and tuple(leaf.shape) == mat.shape:
+                    return jax.device_put(
+                        jnp.asarray(mat, leaf.dtype), leaf.sharding)
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(maybe, state.params)
+        return state.replace(params=params)
 
     def _dummy_batch(self) -> Dict[str, jnp.ndarray]:
         d = self.cfg.data
         b = 2
-        return {
+        batch = {
             "browsed_ids": jnp.zeros((b, d.history_len), jnp.int32),
             "candidate_ids": jnp.zeros((b, d.group_size), jnp.int32),
         }
+        train = self.dataset.train
+        if train is not None and train.user_ids is not None:
+            batch["user_ids"] = jnp.zeros((b,), jnp.int32)
+        return batch
 
     # ---- train ----
     def _batch_shardings(self, batch) -> Dict[str, Any]:
@@ -200,26 +232,26 @@ class Trainer:
         here every news is encoded exactly once per evaluation."""
         chunk = self.cfg.train.eval_encode_chunk
         if "encode_chunk" not in self._score_fns:
-            def enc(params, titles):
+            def enc(params, ids, news_feats):
                 return self.model.apply(
-                    {"params": params}, titles, True, method="encode_news")
+                    {"params": params}, ids, news_feats, True,
+                    method="encode_news_ids")
             self._score_fns["encode_chunk"] = jax.jit(enc)
         enc = self._score_fns["encode_chunk"]
-        titles = self.news_feats["title"]
-        n = titles.shape[0]
+        n = self.dataset.news.n_news
         outs = []
         for s in range(0, n, chunk):
-            t = titles[s:s + chunk]
-            if t.shape[0] < chunk:
-                t = jnp.pad(t, ((0, chunk - t.shape[0]), (0, 0)))
-            outs.append(enc(params, t))
+            ids = jnp.arange(s, min(s + chunk, n), dtype=jnp.int32)
+            if ids.shape[0] < chunk:
+                ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
+            outs.append(enc(params, ids, self.news_feats))
         return jnp.concatenate(outs, axis=0)[:n]
 
     def score_from_vecs_fn(self) -> Callable:
         if "score_vecs" not in self._score_fns:
             def score(params, batch, news_vecs):
                 return self.model.apply(
-                    {"params": params}, batch, news_vecs,
+                    {"params": params}, batch, news_vecs, self.news_feats,
                     method="score_from_vecs")
             self._score_fns["score_vecs"] = jax.jit(score)
         return self._score_fns["score_vecs"]
@@ -252,9 +284,9 @@ class Trainer:
         for eb in eval_batches(data, bs, self.cfg.data.eval_buckets,
                                max_impressions):
             padded, b = pad_batch(eb.batch, bs)
-            batch = jax.device_put(
-                {k: jnp.asarray(v) for k, v in padded.items()},
-                self._batch_shard)
+            shards = self._batch_shardings(padded)
+            batch = {k: jax.device_put(jnp.asarray(v), shards[k])
+                     for k, v in padded.items()}
             if two_tower:
                 s = np.asarray(score_v(params, batch, news_vecs))[:b]
             else:

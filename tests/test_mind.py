@@ -1,0 +1,223 @@
+"""MIND preprocessing pipeline tests on synthesized raw TSV fixtures.
+
+Checks the reference-parity semantics documented in ``data/mind.py``:
+tokenization asymmetry, 1-based indexing with pad row 0, negative-sampling
+group structure (positive at slot 0, no wraparound), history filters, ragged
+dev labels, GloVe/entity matrix layout, and artifact roundtrip.
+"""
+
+import numpy as np
+import pytest
+
+from pytorch_news_recommender_tpu.config import DataConfig
+from pytorch_news_recommender_tpu.data import mind
+from pytorch_news_recommender_tpu.data.dataset import RecDataset
+
+NEWS_TSV = "\n".join([
+    # news_id, category, subcategory, title, abstract, url, t_ents, a_ents
+    "N1\tsports\tfootball\tTeam wins big game 2020\tThe team won again\tu\t"
+    '[{"WikidataId": "Q1"}]\t[]',
+    "N2\tsports\tbasketball\tStar scores fifty points\tAmazing star game "
+    "night\tu\t\t",
+    "N3\tnews\tpolitics\tElection results are in\tThe election results "
+    "surprised\tu\t" '[{"WikidataId": "Q2"}]\t[]',
+    "N4\tnews\tworld\tGlobal summit ends early\tLeaders left the summit\tu\t\t",
+    "N5\tfinance\tmarkets\tStocks rally on news\tMarkets moved higher "
+    "today\tu\t\t",
+]) + "\n"
+
+# extra dev-only news to exercise the cross-split union
+DEV_NEWS_TSV = NEWS_TSV + (
+    "N6\tfinance\tmarkets\tBonds fall on rally news\tYields up as markets "
+    "fell\tu\t\t\n")
+
+TRAIN_BEHAVIORS = "\n".join([
+    # impression_id, user_id, time, history, impressions
+    "1\tU1\t11/11/2019\tN1 N2 N3 N4 N5\tN1-1 N2-0 N3-0 N4-0 N5-0 N2-0 N3-0",
+    "2\tU2\t11/11/2019\tN1 N2\tN3-1 N4-0",        # history < 5 -> dropped
+    "3\tU3\t11/11/2019\tN2 N3 N4 N5 N1\tN2-1 N1-0 N3-1 N4-0 N5-0",
+]) + "\n"
+
+DEV_BEHAVIORS = "\n".join([
+    "1\tU1\t11/12/2019\tN1 N2 N3\tN4-1 N5-0 N6-0",
+    "2\tU9\t11/12/2019\tN2\tN1-0 N3-1",
+]) + "\n"
+
+GLOVE = "\n".join(
+    f"{w} " + " ".join(str(v) for v in vec)
+    for w, vec in [
+        ("team", [1.0, 0.0, 0.0, 0.0]),
+        ("game", [0.0, 1.0, 0.0, 0.0]),
+        ("results", [0.0, 0.0, 1.0, 0.0]),
+    ]) + "\n"
+
+ENTITY_VEC = "Q1\t" + "\t".join(["0.5"] * 4) + "\nQ2\t" + "\t".join(
+    ["0.25"] * 4) + "\n"
+
+
+@pytest.fixture()
+def mind_dirs(tmp_path):
+    train = tmp_path / "train"
+    dev = tmp_path / "dev"
+    for d, news, beh in [(train, NEWS_TSV, TRAIN_BEHAVIORS),
+                         (dev, DEV_NEWS_TSV, DEV_BEHAVIORS)]:
+        d.mkdir()
+        (d / "news.tsv").write_text(news)
+        (d / "behaviors.tsv").write_text(beh)
+    (train / "entity_embedding.vec").write_text(ENTITY_VEC)
+    (tmp_path / "glove.txt").write_text(GLOVE)
+    return tmp_path
+
+
+@pytest.fixture()
+def cfg():
+    return DataConfig(history_len=6, sample_size=2, min_history=3,
+                      word_freq_threshold=2, entity_nums=3)
+
+
+def test_vocab_and_tokenization(mind_dirs, cfg):
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev")
+    # vocab counts over digit-stripped lowercase text, threshold 2
+    news = mind.NewsTable()
+    news.add_split(mind_dirs / "train" / "news.tsv")
+    news.add_split(mind_dirs / "dev" / "news.tsv")
+    vocab = mind.build_vocab(news, 2)
+    assert "game" in vocab and "news" in vocab
+    assert "election" in vocab  # appears in title + abstract
+    assert "2020" not in vocab  # digits deleted before counting
+    assert ds.meta.n_words == len(vocab) + 1
+    # title ids: row 0 is all-pad
+    assert np.all(ds.news.title[0] == 0)
+    # N1 title "Team wins big game 2020": only in-vocab words kept
+    t1 = ds.news.title[1]
+    assert vocab["team"] in t1 and vocab["game"] in t1
+
+
+def test_news_union_and_dicts(mind_dirs, cfg):
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev")
+    assert ds.meta.n_news == 7  # 6 distinct news + pad
+    # categories: sports, news, finance (+pad)
+    assert ds.meta.category_nums == 4
+    assert ds.meta.subcategory_nums == 6  # football, basketball, politics, world, markets (+pad)
+    # dev-only news N6 got indexed
+    assert ds.news.categ[6] == ds.news.categ[5]  # both finance
+
+
+def test_train_sampling_structure(mind_dirs, cfg):
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev")
+    tr = ds.train
+    # U2 dropped (history 2 < 3); U1 has 1 positive, U3 has 2 positives
+    assert len(tr) == 3
+    # every sample: positive at slot 0, group width 1+K
+    assert tr.candidate_ids.shape == (3, 3)
+    assert np.all(tr.candidate_ids[:, 0] > 0)
+    # histories left-padded, most recent last
+    row = tr.browsed_ids[0]
+    assert row[-1] > 0
+    assert row[0] == 0  # 5 clicks into length-6 window
+    # user ids mapped
+    assert tr.user_ids is not None and np.all(tr.user_ids > 0)
+
+
+def test_negatives_no_wraparound(mind_dirs, cfg):
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev")
+    # U3 has 2 positives but only 3 negatives; second group gets the single
+    # leftover negative + zero pad (reference slicing, no wraparound)
+    groups = ds.train.candidate_ids[-2:]
+    widths = (groups > 0).sum(axis=1)
+    assert sorted(widths.tolist()) == [2, 3]
+
+
+def test_dev_split_ragged(mind_dirs, cfg):
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev")
+    dev = ds.dev
+    assert len(dev) == 2
+    c0, y0 = dev.impression(0)
+    assert list(y0) == [1, 0, 0]
+    assert c0[0] == 4  # N4
+    c1, y1 = dev.impression(1)
+    assert list(y1) == [0, 1]
+    assert dev.impression_keys is not None
+
+
+def test_glove_and_entities(mind_dirs, cfg):
+    ds = mind.build_dataset(
+        cfg, mind_dirs / "train", mind_dirs / "dev",
+        glove_path=mind_dirs / "glove.txt", word_embed_size=4)
+    emb = ds.word_embeddings
+    assert emb is not None and np.all(emb[0] == 0)
+    news = mind.NewsTable()
+    news.add_split(mind_dirs / "train" / "news.tsv")
+    news.add_split(mind_dirs / "dev" / "news.tsv")
+    vocab = mind.build_vocab(news, 2)
+    np.testing.assert_allclose(emb[vocab["game"]], [0, 1, 0, 0])
+    # entity matrix: zero row 0 + Q1, Q2
+    assert ds.entity_embeddings is not None
+    assert ds.entity_embeddings.shape == (3, 4)
+    assert np.all(ds.entity_embeddings[0] == 0)
+    # per-news entity ids: N1 -> Q1
+    assert ds.news.entity is not None
+    assert ds.news.entity[1, 0] == 1
+
+
+def test_roundtrip_and_determinism(mind_dirs, cfg, tmp_path):
+    out = tmp_path / "artifacts"
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev",
+                            glove_path=mind_dirs / "glove.txt",
+                            word_embed_size=4, out_dir=out)
+    ds2 = RecDataset.load(out)
+    np.testing.assert_array_equal(ds.news.title, ds2.news.title)
+    np.testing.assert_array_equal(ds.train.candidate_ids,
+                                  ds2.train.candidate_ids)
+    np.testing.assert_array_equal(ds.word_embeddings, ds2.word_embeddings)
+    assert ds2.meta.n_users == ds.meta.n_users
+    # same seed -> identical sampling
+    ds3 = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev")
+    np.testing.assert_array_equal(ds.train.candidate_ids,
+                                  ds3.train.candidate_ids)
+
+
+def test_coclick_graph(mind_dirs, cfg):
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev",
+                            news_graph_neighbors=3)
+    g = ds.news.neighbors
+    assert g is not None and g.shape == (7, 3)
+    assert np.all(g[0] == 0)
+    # N1 co-clicked with N2..N5 in histories
+    assert g[1, 0] > 0
+
+
+def test_end_to_end_training(mind_dirs, cfg):
+    """The tiny MIND artifacts drive a real Trainer step + evaluation."""
+    import dataclasses
+
+    from pytorch_news_recommender_tpu.config import synthetic_config
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev",
+                            glove_path=mind_dirs / "glove.txt",
+                            word_embed_size=4)
+    base = synthetic_config()
+    full = dataclasses.replace(
+        base,
+        data=dataclasses.replace(cfg, eval_buckets=(4, 8)),
+        model=dataclasses.replace(base.model, word_embed_size=4,
+                                  num_attention_heads=2, user_heads_num=2),
+        train=dataclasses.replace(base.train, batch_size=3, eval_batch_size=2),
+    )
+    trainer = Trainer(full, ds)
+    state = trainer.init_state(seed=0)
+    # pretrained GloVe rows landed in the model params
+    w = np.asarray(
+        state.params["news_encoder"]["word_embedding"]["embedding"])
+    np.testing.assert_array_equal(w, ds.word_embeddings)
+    import jax
+    batch = {
+        "browsed_ids": ds.train.browsed_ids,
+        "candidate_ids": ds.train.candidate_ids,
+        "user_ids": ds.train.user_ids,
+    }
+    state, metrics = trainer.run_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    m = trainer.evaluate(state)
+    assert 0.0 <= m["auc"] <= 1.0

@@ -1,0 +1,85 @@
+"""Native (C++) preprocessing fast path: bit-identical to the Python path.
+
+Both implementations follow the same splitmix64 hash-shuffle spec
+(``data/mind.py`` docstring), so every output array must match EXACTLY —
+not just structurally.
+"""
+
+import numpy as np
+import pytest
+
+from pytorch_news_recommender_tpu import native
+from pytorch_news_recommender_tpu.config import DataConfig
+from pytorch_news_recommender_tpu.data import mind
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+@pytest.fixture()
+def fixture_dirs(tmp_path):
+    # reuse the TSV fixtures from test_mind
+    from tests.test_mind import (DEV_BEHAVIORS, DEV_NEWS_TSV, NEWS_TSV,
+                                 TRAIN_BEHAVIORS)
+    train = tmp_path / "train"
+    dev = tmp_path / "dev"
+    for d, news_txt, beh in [(train, NEWS_TSV, TRAIN_BEHAVIORS),
+                             (dev, DEV_NEWS_TSV, DEV_BEHAVIORS)]:
+        d.mkdir()
+        (d / "news.tsv").write_text(news_txt)
+        (d / "behaviors.tsv").write_text(beh)
+    return tmp_path
+
+
+@pytest.fixture()
+def cfg():
+    return DataConfig(history_len=6, sample_size=2, min_history=3,
+                      word_freq_threshold=2)
+
+
+def _indexes(fixture_dirs):
+    news = mind.NewsTable()
+    news.add_split(fixture_dirs / "train" / "news.tsv")
+    news.add_split(fixture_dirs / "dev" / "news.tsv")
+    users = mind.collect_users(
+        [fixture_dirs / "train" / "behaviors.tsv",
+         fixture_dirs / "dev" / "behaviors.tsv"])
+    return news.index, users
+
+
+def test_train_bit_identical(fixture_dirs, cfg):
+    news_idx, users = _indexes(fixture_dirs)
+    path = fixture_dirs / "train" / "behaviors.tsv"
+    py = mind.build_train_samples(path, news_idx, users, cfg, seed=2020)
+    browsed, cand, user = native.build_train_samples(
+        path, news_idx, users, cfg.history_len, cfg.sample_size,
+        cfg.min_history, 2020)
+    np.testing.assert_array_equal(py.browsed_ids, browsed)
+    np.testing.assert_array_equal(py.candidate_ids, cand)
+    np.testing.assert_array_equal(py.user_ids, user)
+
+
+def test_eval_bit_identical(fixture_dirs, cfg):
+    news_idx, users = _indexes(fixture_dirs)
+    path = fixture_dirs / "dev" / "behaviors.tsv"
+    py = mind.build_eval_split(path, news_idx, users, cfg, with_labels=True)
+    browsed, user, keys, offsets, cand_flat, label_flat = \
+        native.build_eval_split(path, news_idx, users, cfg.history_len, True)
+    np.testing.assert_array_equal(py.browsed_ids, browsed)
+    np.testing.assert_array_equal(py.user_ids, user)
+    np.testing.assert_array_equal(py.impression_keys, keys)
+    np.testing.assert_array_equal(py.offsets, offsets)
+    np.testing.assert_array_equal(py.cand_flat, cand_flat)
+    np.testing.assert_array_equal(py.label_flat, label_flat)
+
+
+def test_build_dataset_native_matches_python(fixture_dirs, cfg):
+    ds_native = mind.build_dataset(cfg, fixture_dirs / "train",
+                                   fixture_dirs / "dev", use_native=True)
+    ds_py = mind.build_dataset(cfg, fixture_dirs / "train",
+                               fixture_dirs / "dev", use_native=False)
+    np.testing.assert_array_equal(ds_native.train.candidate_ids,
+                                  ds_py.train.candidate_ids)
+    np.testing.assert_array_equal(ds_native.dev.cand_flat, ds_py.dev.cand_flat)
+    np.testing.assert_array_equal(ds_native.dev.label_flat,
+                                  ds_py.dev.label_flat)
