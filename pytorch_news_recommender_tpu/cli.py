@@ -149,7 +149,19 @@ def cmd_train(args) -> int:
     def ckpt_cb(state, metrics, step):
         mngr.save(step, state, metrics)
 
-    state, history = trainer.fit(state, log_fn=log, checkpoint_cb=ckpt_cb)
+    profiling = False
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
+    try:
+        state, history = trainer.fit(state, log_fn=log, checkpoint_cb=ckpt_cb)
+    finally:
+        if profiling:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}",
+                  file=sys.stderr)
     if ds.dev is not None and len(ds.dev):
         final = trainer.evaluate(state)
         log({"tag": "final", **final})
@@ -158,6 +170,10 @@ def cmd_train(args) -> int:
             # keep the final state anyway so eval/submit have something
             mngr.save(int(state.step), state, final)
     mngr.close()
+    from pytorch_news_recommender_tpu.utils.plotting import plot_loss
+    png = plot_loss(save_dir / "metrics.jsonl")
+    if png is not None:
+        print(f"loss curve: {png}", file=sys.stderr)
     return 0
 
 
@@ -248,6 +264,8 @@ def main(argv=None) -> int:
     p.add_argument("--save-dir", default="save_model")
     p.add_argument("--load", default=None, help="checkpoint dir to resume")
     p.add_argument("--description", default="")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run here")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="evaluate a checkpoint on dev/test")

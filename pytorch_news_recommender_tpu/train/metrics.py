@@ -114,3 +114,36 @@ def aggregate_metrics(
         vals = np.asarray([p[key] for p in per])
         out[key] = float(np.nanmean(vals)) if len(vals) else float("nan")
     return out
+
+
+def score_submission_file(
+    submission_path,
+    labels_by_key: Dict[int, np.ndarray],
+) -> Dict[str, float]:
+    """Score a MIND leaderboard rank file against ground-truth labels.
+
+    This is the official-scorer role the reference ships commented out
+    (``MIND_2020/evaluation.py:29-118``). Lines are
+    ``"<impression_id> [r1,r2,...]"``; ranks convert to scores as ``1/rank``.
+    ``labels_by_key`` maps impression id -> 0/1 label array in candidate
+    order (truncated/padded to the rank-list length like the reference's
+    ``rank_score[i][:len(y_true)]``, ``train_eval.py:225``).
+    """
+    labels, scores = [], []
+    with open(submission_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            key_str, rank_str = line.split(" ", 1)
+            key = int(key_str)
+            if key not in labels_by_key:
+                continue
+            ranks = np.asarray(
+                [int(r) for r in rank_str.strip()[1:-1].split(",")],
+                dtype=np.float64)
+            y = np.asarray(labels_by_key[key], dtype=np.float64)
+            n = min(len(ranks), len(y))
+            labels.append(y[:n])
+            scores.append(1.0 / ranks[:n])
+    return aggregate_metrics(labels, scores)
