@@ -79,6 +79,8 @@ def _build_config(args, sample_size=None):
         d["data"]["sample_size"] = sample_size
     if getattr(args, "description", None):
         d["description"] = args.description
+    if getattr(args, "debug_nans", False):
+        d["train"]["debug_nans"] = True
     return Config.from_dict(d)
 
 
@@ -266,6 +268,8 @@ def main(argv=None) -> int:
     p.add_argument("--description", default="")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="evaluate a checkpoint on dev/test")

@@ -92,6 +92,8 @@ class ModelConfig:
     long_short_term_method: str = "ini"  # 'ini' | 'con' (lstur.py:112-142)
     # disan
     disan_hidden: int = 0               # 0 -> word_embed_size
+    # tanr
+    topic_loss_weight: float = 0.2      # aux topic-CE weight (TANR lambda)
     # hierec
     n_interests: int = 8
     # gnn
@@ -142,6 +144,10 @@ class TrainConfig:
     eval_encode_chunk: int = 4096
     auc_checkpoint_floor: float = 0.56  # min dev AUC before checkpointing
     max_dev_samples: int = 100_000      # reference truncates dev to 100k
+    # Debug/determinism knobs (TPU equivalents of the reference's
+    # cudnn.deterministic pin, run_v0.py:41 — SURVEY.md §5): jit-level NaN
+    # checking; XLA deterministic ops are the default on TPU.
+    debug_nans: bool = False
     save_dir: str = "save_model"
     log_dir: str = "logs"
 
@@ -275,6 +281,7 @@ def synthetic_config(**overrides) -> Config:
         query_vector_dim_large=48,
         cate_embed_size=16,
         bert_embed_size=64,
+        entity_embed_size=16,
         num_filters=32,
         list_ff_dim=64,
         list_num_heads=4,

@@ -39,6 +39,9 @@ def generate(
     bert_dim: int = 0,
     n_users: int = 0,
     n_neighbors: int = 0,
+    n_entities: int = 0,
+    entities_per_news: int = 4,
+    entity_dim: int = 0,
     popularity_skew: float = 1.0,
 ) -> RecDataset:
     """``popularity_skew`` > 0 draws clicks Zipf-like (weight ~ 1/rank^a)
@@ -101,6 +104,23 @@ def generate(
             w = w / w.sum()
             return rng.choice(pool, size=size, p=w)
         return rng.choice(pool, size=size)
+
+    # optional per-news entity ids (topic-clustered, like WikiData entities
+    # from the MIND pipeline) + a pretrained-style entity matrix
+    entity = None
+    entity_embeddings = None
+    if n_entities:
+        ents_per_topic = max(1, n_entities // n_topics)
+        entity = np.zeros((n_news + 1, entities_per_news), dtype=np.int32)
+        for i in range(1, n_news + 1):
+            base = 1 + (topics[i] * ents_per_topic) % n_entities
+            k = int(rng.integers(1, entities_per_news + 1))
+            entity[i, :k] = ((base + rng.integers(0, ents_per_topic, size=k)
+                              - 1) % n_entities) + 1
+        dim = entity_dim or 32
+        entity_embeddings = rng.standard_normal(
+            (n_entities + 1, dim)).astype(np.float32)
+        entity_embeddings[0] = 0.0
 
     # optional co-click-style neighbor lists: same-topic news (plays the role
     # of an offline news-news graph for the GNN family); row 0 = pad news.
@@ -179,7 +199,7 @@ def generate(
         n_news=n_news + 1,
         category_nums=n_categories,
         subcategory_nums=n_subcategories,
-        entity_nums=0,
+        entity_nums=(n_entities + 1) if n_entities else 0,
         n_users=(n_users + 1) if n_users else 0,
         n_train_samples=n_train,
         n_dev_impressions=n_dev,
@@ -187,10 +207,12 @@ def generate(
     )
     return RecDataset(
         news=NewsFeatures(title=title, abst=abst, categ=categ,
-                          subcateg=subcateg, bert=bert, neighbors=neighbors),
+                          subcateg=subcateg, bert=bert, entity=entity,
+                          neighbors=neighbors),
         train=TrainData(browsed_ids=tr_browsed, candidate_ids=tr_cands,
                         user_ids=tr_users if n_users else None),
         dev=dev,
         test=test,
         meta=meta,
+        entity_embeddings=entity_embeddings,
     )

@@ -79,6 +79,18 @@ def _lstur(cfg: ModelConfig) -> nn.Module:
 from pytorch_news_recommender_tpu.models.disan import DiSANRec
 from pytorch_news_recommender_tpu.models.gnn import GNNRec
 from pytorch_news_recommender_tpu.models.hierec import HieRec
+from pytorch_news_recommender_tpu.models.nrms_entity import NRMSEntity
+from pytorch_news_recommender_tpu.models.tanr import TANR
+
+
+@register("nrms_entity")
+def _nrms_entity(cfg: ModelConfig) -> nn.Module:
+    return NRMSEntity(cfg)
+
+
+@register("tanr")
+def _tanr(cfg: ModelConfig) -> nn.Module:
+    return TANR(cfg)
 
 
 @register("disan")
@@ -98,4 +110,4 @@ def _gnn(cfg: ModelConfig) -> nn.Module:
 
 __all__ = ["build_model", "available_models", "register",
            "NRMS", "NAML", "NRMSBert", "ListRank", "LSTUR",
-           "DiSANRec", "HieRec", "GNNRec"]
+           "DiSANRec", "HieRec", "GNNRec", "NRMSEntity", "TANR"]

@@ -84,6 +84,8 @@ class Trainer:
     ):
         self.cfg = cfg
         self.dataset = dataset
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.model_cfg = cfg.model.with_artifact_meta(dataset.meta)
         self.model = build_model(self.model_cfg)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
@@ -181,11 +183,16 @@ class Trainer:
             drng = jax.random.fold_in(rng, state.step)
 
             def loss_fn(params):
-                scores = state.apply_fn(
+                scores, mut = state.apply_fn(
                     {"params": params}, batch, news_feats,
                     deterministic=False, rngs={"dropout": drng},
+                    mutable=["losses"],
                 )
                 loss = softmax_ce_loss(scores)
+                # auxiliary losses sown by the model (e.g. TANR's
+                # topic-prediction CE) — already weighted at sow site
+                for leaf in jax.tree_util.tree_leaves(mut.get("losses", {})):
+                    loss = loss + jnp.mean(leaf)
                 acc = jnp.mean((jnp.argmax(scores, axis=-1) == 0).astype(jnp.float32))
                 return loss, acc
 
@@ -280,13 +287,30 @@ class Trainer:
         else:
             score = self.score_fn()
 
+        from pytorch_news_recommender_tpu.data.prefetch import device_prefetch
+
+        def padded_batches():
+            for eb in eval_batches(data, bs, self.cfg.data.eval_buckets,
+                                   max_impressions):
+                padded, b = pad_batch(eb.batch, bs)
+                yield dict(padded, _meta=(b, eb))
+
+        def shard_for(batch):
+            shards = self._batch_shardings(
+                {k: v for k, v in batch.items() if k != "_meta"})
+            return shards
+
+        # overlap host batch assembly + H2D with device scoring
+        meta_q: list = []
+
+        def host_iter():
+            for hb in padded_batches():
+                meta_q.append(hb.pop("_meta"))
+                yield hb
+
         all_scores: Dict[int, np.ndarray] = {}
-        for eb in eval_batches(data, bs, self.cfg.data.eval_buckets,
-                               max_impressions):
-            padded, b = pad_batch(eb.batch, bs)
-            shards = self._batch_shardings(padded)
-            batch = {k: jax.device_put(jnp.asarray(v), shards[k])
-                     for k, v in padded.items()}
+        for batch in device_prefetch(host_iter(), shard_for):
+            b, eb = meta_q.pop(0)
             if two_tower:
                 s = np.asarray(score_v(params, batch, news_vecs))[:b]
             else:
@@ -342,11 +366,15 @@ class Trainer:
                     checkpoint_cb(state, m, step_i)
             return m
 
+        from pytorch_news_recommender_tpu.data.prefetch import device_prefetch
+
         for epoch in range(epochs):
-            for batch in train_batches(self.dataset.train,
-                                       cfg.train.batch_size, shuffle_rng,
-                                       dedup=cfg.train.dedup_batches):
-                state, metrics = self.run_step(state, batch, rng)
+            host_iter = train_batches(self.dataset.train,
+                                      cfg.train.batch_size, shuffle_rng,
+                                      dedup=cfg.train.dedup_batches)
+            for batch in device_prefetch(host_iter, self._batch_shardings):
+                fn = self.train_step_fn(batch)
+                state, metrics = fn(state, batch, self.news_feats, rng)
                 step_i += 1
                 if step_i % cfg.train.log_every == 0:
                     log({

@@ -38,7 +38,8 @@ def full_dataset(cfg):
     """Synthetic dataset with every optional feature populated (BERT vectors,
     user identities, graph neighbors) — exercises all model families."""
     return synthetic.generate(cfg.data, seed=1, n_train=512, n_dev=64,
-                              bert_dim=64, n_users=50, n_neighbors=8)
+                              bert_dim=64, n_users=50, n_neighbors=8,
+                              n_entities=32, entity_dim=16)
 
 
 @pytest.fixture(scope="session")
