@@ -42,6 +42,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: repeated bench runs (and any same-shape
+    # programs) skip the remote compile server entirely.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from pytorch_news_recommender_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
     )
@@ -70,9 +78,14 @@ def main():
         return float(jnp.sum(
             state.params["news_encoder"]["tower"]["wqkv"][0, :2]))
 
-    def measure(step_once, state, n_lo=10, n_hi=50):
-        """Marginal ms/step from two chain lengths (cancels fixed costs)."""
-        state = step_once(state, 0)
+    def measure(step_once, state, n_lo=10, n_hi=50, n_warm=1):
+        """Marginal ms/step from two chain lengths (cancels fixed costs).
+
+        ``n_warm`` steps run first so EVERY distinct batch shape compiles
+        before timing — a mid-chain compile would make the short chain
+        slower than the long one and the marginal rate negative."""
+        for i in range(n_warm):
+            state = step_once(state, i)
         force(state)
         times = {}
         for n in (n_lo, n_hi):
@@ -85,8 +98,11 @@ def main():
         return ms, state
 
     # ---- ours: dedup + fused kernels ----
+    # single dedup bucket -> ONE compiled step variant (the remote compile
+    # server's latency is highly variable; every extra variant risks
+    # blowing the driver's time budget)
     batches = list(train_batches(ds.train, BATCH, np.random.default_rng(0),
-                                 dedup=True))
+                                 dedup=True, unique_buckets=(16384,)))
     state = trainer.init_state(seed=0)
     t0 = time.perf_counter()
 
@@ -94,7 +110,7 @@ def main():
         s, _ = trainer.run_step(state, batches[i % len(batches)], rng)
         return s
 
-    ms_ours, state = measure(ours, state)
+    ms_ours, state = measure(ours, state, n_warm=len(batches))
     ours_rate = BATCH / ms_ours * 1e3
     log(f"fused+dedup step: {ms_ours:.2f} ms -> {ours_rate:,.0f} ex/s "
         f"(total bench section {time.perf_counter()-t0:.0f}s)")

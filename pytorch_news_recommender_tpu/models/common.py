@@ -50,6 +50,13 @@ class RecModel(nn.Module):
     # transform leaves it alone).
     FEAT_KEYS = ("title",)
 
+    # Families that sow auxiliary losses (flax ``losses`` collection) set
+    # this True; the trainer then applies with ``mutable=["losses"]``.
+    # Measured on v5e: tracing EVERY family with mutable collections
+    # ballooned the train-step compile ~10x (35s -> 500s) and steady-state
+    # step time ~15x — so the mutable path is strictly opt-in.
+    HAS_AUX_LOSS = False
+
     # ---- news tower ----
     def encode_news_feats(self, feats: Batch,
                           deterministic: bool = True) -> jax.Array:

@@ -34,6 +34,7 @@ class TANR(RecModel):
     cfg: ModelConfig
 
     FEAT_KEYS = ("title", "categ")
+    HAS_AUX_LOSS = True
 
     def setup(self):
         c = self.cfg

@@ -182,12 +182,24 @@ class Trainer:
         def step(state: TrainState, batch, news_feats, rng):
             drng = jax.random.fold_in(rng, state.step)
 
+            # Mutable-collection apply ONLY for families that sow aux
+            # losses — tracing with mutable costs ~10x compile and ~15x
+            # step time (see RecModel.HAS_AUX_LOSS).
+            has_aux = getattr(self.model, "HAS_AUX_LOSS", False)
+
             def loss_fn(params):
-                scores, mut = state.apply_fn(
-                    {"params": params}, batch, news_feats,
-                    deterministic=False, rngs={"dropout": drng},
-                    mutable=["losses"],
-                )
+                if has_aux:
+                    scores, mut = state.apply_fn(
+                        {"params": params}, batch, news_feats,
+                        deterministic=False, rngs={"dropout": drng},
+                        mutable=["losses"],
+                    )
+                else:
+                    scores = state.apply_fn(
+                        {"params": params}, batch, news_feats,
+                        deterministic=False, rngs={"dropout": drng},
+                    )
+                    mut = {}
                 loss = softmax_ce_loss(scores)
                 # auxiliary losses sown by the model (e.g. TANR's
                 # topic-prediction CE) — already weighted at sow site
