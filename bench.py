@@ -44,11 +44,8 @@ def main():
 
     # Persistent compile cache: repeated bench runs (and any same-shape
     # programs) skip the remote compile server entirely.
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from pytorch_news_recommender_tpu.utils.compile_cache import enable
+    enable()
 
     from pytorch_news_recommender_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,

@@ -289,6 +289,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_models)
 
     args = parser.parse_args(argv)
+    from pytorch_news_recommender_tpu.utils.compile_cache import enable
+    enable()
     return args.fn(args)
 
 

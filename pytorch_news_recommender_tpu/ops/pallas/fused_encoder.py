@@ -127,17 +127,22 @@ def _encoder_kernel(
         # Head-major restage: H*3 independent copies that pipeline freely,
         # then ONE batched op chain over all heads — the per-head loop of
         # small dependent ops serializes ~600 cycles/iteration otherwise.
+        # Staging is in the INPUT dtype (bf16 in training): 4x MXU rate on
+        # the attention dots with f32 accumulation — the same operand
+        # precision as the jnp reference (bf16 q,k,v matmuls).
+        adt = q3_s.dtype
         for h in range(H):
-            q3_s[h] = qkv_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh]
-            k3_s[h] = qkv_scratch[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh]
-            v3_s[h] = qkv_scratch[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh]
+            q3_s[h] = qkv_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh].astype(adt)
+            k3_s[h] = qkv_scratch[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh].astype(adt)
+            v3_s[h] = qkv_scratch[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh].astype(adt)
         scores = jax.lax.dot_general(
             q3_s[:], k3_s[:], B3, preferred_element_type=jnp.float32
         ) + pen                                             # [H, SUB, SUB]
         e = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
         rowsum = jnp.sum(e, axis=-1, keepdims=True)         # [H, SUB, 1]
         o3 = jax.lax.dot_general(
-            e, v3_s[:], BV, preferred_element_type=jnp.float32) / rowsum
+            e.astype(adt), v3_s[:], BV,
+            preferred_element_type=jnp.float32) / rowsum
         for h in range(H):
             o_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = o3[h]
         return 0
@@ -236,11 +241,13 @@ def _encoder_bwd_kernel(
             - 1.0
         ) * 1e9
 
+    adt = q3_s.dtype  # bf16 staging in training: 4x MXU attention dots
+
     def _stage_heads(r0):
         for h in range(H):
-            q3_s[h] = qkv_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh]
-            k3_s[h] = qkv_s[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh]
-            v3_s[h] = qkv_s[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh]
+            q3_s[h] = qkv_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh].astype(adt)
+            k3_s[h] = qkv_s[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh].astype(adt)
+            v3_s[h] = qkv_s[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh].astype(adt)
 
     def _probs(pen):
         scores = jax.lax.dot_general(
@@ -254,7 +261,8 @@ def _encoder_bwd_kernel(
         _stage_heads(r0)
         probs = _probs(_pen(maskf_ref[pl.ds(r0, SUB), :]))
         o3 = jax.lax.dot_general(
-            probs, v3_s[:], BV, preferred_element_type=jnp.float32)
+            probs.astype(adt), v3_s[:], BV,
+            preferred_element_type=jnp.float32)
         for h in range(H):
             o1_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = o3[h]
         return 0
@@ -334,15 +342,16 @@ def _encoder_bwd_kernel(
         r0 = pl.multiple_of(s * SUB, 8)
         _stage_heads(r0)
         for h in range(H):
-            g3_s[h] = o2_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh]  # dO1 heads
+            g3_s[h] = o2_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh].astype(adt)
         probs = _probs(_pen(maskf_ref[pl.ds(r0, SUB), :]))
+        probs_a = probs.astype(adt)
         doh = g3_s[:]                                            # [H, SUB, dh]
-        dv = jax.lax.dot_general(probs, doh, BT,
+        dv = jax.lax.dot_general(probs_a, doh, BT,
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(doh, v3_s[:], B3,
                                  preferred_element_type=jnp.float32)
         pdp = probs * dp
-        dsc = pdp - probs * jnp.sum(pdp, axis=-1, keepdims=True)
+        dsc = (pdp - probs * jnp.sum(pdp, axis=-1, keepdims=True)).astype(adt)
         # q was pre-scaled: dq (wrt unscaled q) needs * scale; dk uses the
         # scaled q directly (chain rule through q' = q * scale).
         dq = jax.lax.dot_general(dsc, k3_s[:], BV,
@@ -466,9 +475,9 @@ def fused_news_encoder(
             scratch_shapes=[
                 pltpu.VMEM((R, 3 * D), jnp.float32),
                 pltpu.VMEM((R, D), jnp.float32),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((M_pad, D), x.dtype),
@@ -546,10 +555,10 @@ def _bwd_pallas_call(
                 pltpu.VMEM((R, D), jnp.float32),       # o2 / do1
                 pltpu.VMEM((R, D), jnp.float32),       # dropout keep
                 pltpu.VMEM((R, 3 * D), jnp.float32),   # dqkv
-                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), jnp.float32),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
             ],
         ),
         out_shape=[
