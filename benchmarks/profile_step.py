@@ -27,7 +27,9 @@ def log(*a):
 
 def timeit(fn, *args, n_lo=3, n_hi=10, fetch=None, chain=False):
     """Marginal ms/call over repeated (or, with ``chain``, state-chained)
-    invocations — ``chain`` is required for donated-arg functions."""
+    invocations — ``chain`` is required for donated-arg functions. Returns
+    ``(ms, last)`` — with ``chain`` the caller's first arg was DONATED, so it
+    must continue from ``last``, never the original."""
     import jax
     f = fetch or (lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0][:1]))
     cur = fn(*args)
@@ -42,7 +44,7 @@ def timeit(fn, *args, n_lo=3, n_hi=10, fetch=None, chain=False):
         times[n] = time.perf_counter() - t0
         if chain:
             cur = last
-    return (times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1e3
+    return (times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1e3, cur
 
 
 def main():
@@ -96,8 +98,7 @@ def main():
     def full(state):
         s, _ = trainer.run_step(state, batches[0], rng)
         return s
-    ms = timeit(full, state, fetch=fetch_state, chain=True)
-    state = full(state)
+    ms, state = timeit(full, state, fetch=fetch_state, chain=True)
     log(f"full train step:          {ms:8.2f} ms  ({B/ms*1e3:,.0f} ex/s)")
 
     # 2. forward + loss only (no grad)
@@ -105,13 +106,18 @@ def main():
     dev_batch = {k: jax.device_put(jnp.asarray(v), shards[k])
                  for k, v in batches[0].items()}
 
+    # news_feats must be an ARGUMENT: closing over device arrays embeds them
+    # as compile-time constants, which forces a host fetch at trace time
+    # (fails/stalls through the axon tunnel).
+    dev_feats = {k: jnp.asarray(v) for k, v in trainer.news_feats.items()}
+
     @jax.jit
-    def fwd_only(params, batch):
+    def fwd_only(params, batch, feats, r):
         scores = trainer.model.apply(
-            {"params": params}, batch, trainer.news_feats,
-            deterministic=False, rngs={"dropout": rng})
+            {"params": params}, batch, feats,
+            deterministic=False, rngs={"dropout": r})
         return softmax_ce_loss(scores)
-    ms = timeit(fwd_only, state.params, dev_batch,
+    ms, _ = timeit(fwd_only, state.params, dev_batch, dev_feats, rng,
                 fetch=lambda o: float(o))
     log(f"forward+loss only:        {ms:8.2f} ms")
 
@@ -131,7 +137,7 @@ def main():
         return fused_news_encoder(
             x, mask, p["wqkv"], p["bqkv"], p["wo"], p["bo"], p["aw"],
             p["ab"], p["aq"], num_heads=10, dropout_rate=0.0)
-    ms = timeit(enc_fwd, x, mask,
+    ms, _ = timeit(enc_fwd, x, mask,
                 fetch=lambda o: np.asarray(o[:1, :1]))
     log(f"fused encoder fwd (M={M}): {ms:8.2f} ms")
 
@@ -144,7 +150,7 @@ def main():
                 p["ab"], p["aq"], num_heads=10,
                 dropout_rate=0.2, seed=7).astype(jnp.float32))
         return jax.grad(loss)(x)
-    ms = timeit(enc_grad, x, mask, fetch=lambda o: np.asarray(o[:1, :1, :1]))
+    ms, _ = timeit(enc_grad, x, mask, fetch=lambda o: np.asarray(o[:1, :1, :1]))
     log(f"fused encoder fwd+bwd:    {ms:8.2f} ms")
 
     # 4b. XLA (unfused) encoder fwd+bwd at same M for comparison
@@ -158,7 +164,7 @@ def main():
             out = A.additive_attention(h, p["aw"], p["ab"], p["aq"], mask)
             return jnp.sum(out.astype(jnp.float32))
         return jax.grad(loss)(x)
-    ms = timeit(xla_grad, x, mask, fetch=lambda o: np.asarray(o[:1, :1, :1]))
+    ms, _ = timeit(xla_grad, x, mask, fetch=lambda o: np.asarray(o[:1, :1, :1]))
     log(f"XLA encoder fwd+bwd:      {ms:8.2f} ms")
 
     # 5. embedding gather + scatter-add (fwd+bwd) at dedup scale
@@ -172,7 +178,7 @@ def main():
             e = jnp.take(t, ids, axis=0).astype(jnp.bfloat16)
             return jnp.sum(e.astype(jnp.float32) ** 2)
         return jax.grad(loss)(table)
-    ms = timeit(emb_grad, table, ids, fetch=lambda o: np.asarray(o[:1, :1]))
+    ms, _ = timeit(emb_grad, table, ids, fetch=lambda o: np.asarray(o[:1, :1]))
     log(f"embedding fwd+bwd (scatter): {ms:8.2f} ms")
 
     # 6. user tower fwd+bwd ([B, 50, D])
@@ -187,7 +193,7 @@ def main():
                 p["ab"], p["aq"], num_heads=10,
                 dropout_rate=0.0, seed=3).astype(jnp.float32))
         return jax.grad(loss)(xu)
-    ms = timeit(user_grad, xu, fetch=lambda o: np.asarray(o[:1, :1, :1]))
+    ms, _ = timeit(user_grad, xu, fetch=lambda o: np.asarray(o[:1, :1, :1]))
     log(f"user tower fwd+bwd:       {ms:8.2f} ms")
 
     # 7. optimizer update alone
@@ -199,7 +205,7 @@ def main():
         grads = jax.tree_util.tree_map(jnp.ones_like, params)
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt
-    ms = timeit(opt_step, state.params, opt_state,
+    ms, _ = timeit(opt_step, state.params, opt_state,
                 fetch=lambda o: np.asarray(
                     jax.tree_util.tree_leaves(o[0])[0])[:1])
     log(f"optimizer update:         {ms:8.2f} ms")

@@ -108,6 +108,23 @@ def cmd_preprocess(args) -> int:
     return 0
 
 
+def cmd_bert_embeds(args) -> int:
+    """Per-news BERT sentence vectors from a local HF encoder — replaces the
+    reference's bert-as-service job (``data_processor.py:45-65``)."""
+    from pytorch_news_recommender_tpu.data.bert_vectors import (
+        build_bert_vectors,
+    )
+
+    tsvs = [args.train_dir + "/news.tsv", args.dev_dir + "/news.tsv"]
+    if args.test_dir:
+        tsvs.append(args.test_dir + "/news.tsv")
+    emb = build_bert_vectors(tsvs, args.model_path, args.out,
+                             batch_size=args.batch_size,
+                             max_length=args.max_length)
+    print(f"wrote {emb.shape} news vectors to {args.out}")
+    return 0
+
+
 def cmd_preprocess_adressa(args) -> int:
     from pytorch_news_recommender_tpu.config import DataConfig
     from pytorch_news_recommender_tpu.data import adressa
@@ -244,6 +261,19 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=2020)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("bert-embeds",
+                       help="news TSVs -> per-news BERT vectors npz "
+                            "(local HF encoder; feeds preprocess --bert-npz)")
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--dev-dir", required=True)
+    p.add_argument("--test-dir", default=None)
+    p.add_argument("--model-path", required=True,
+                   help="local HuggingFace encoder checkpoint dir")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--max-length", type=int, default=64)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_bert_embeds)
 
     p = sub.add_parser("preprocess-adressa",
                        help="Adressa event JSONL -> columnar artifacts")

@@ -144,6 +144,11 @@ class TrainConfig:
     eval_encode_chunk: int = 4096
     auc_checkpoint_floor: float = 0.56  # min dev AUC before checkpointing
     max_dev_samples: int = 100_000      # reference truncates dev to 100k
+    # Early stop after this many steps without a dev-AUC improvement,
+    # checked at eval points. The reference declares the same knob
+    # (``config.py:58`` require_improvement=5000) but its trigger flag is
+    # never set (``train_eval.py:151-152``) — here it works. 0 = off.
+    require_improvement: int = 0
     # Debug/determinism knobs (TPU equivalents of the reference's
     # cudnn.deterministic pin, run_v0.py:41 — SURVEY.md §5): jit-level NaN
     # checking; XLA deterministic ops are the default on TPU.

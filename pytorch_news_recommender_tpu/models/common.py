@@ -27,6 +27,7 @@ reference's ``data_handler.py:185-250``.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import flax.linen as nn
@@ -103,8 +104,21 @@ class RecModel(nn.Module):
             uvecs = self.encode_news_ids(unique_ids, news_feats, deterministic)
             browsed_ids = jnp.take(unique_ids, batch["browsed_idx"], axis=0)
             cand_ids = jnp.take(unique_ids, batch["candidate_idx"], axis=0)
-            browsed_vecs = jnp.take(uvecs, batch["browsed_idx"], axis=0)
-            cand_vecs = jnp.take(uvecs, batch["candidate_idx"], axis=0)
+            # The inverse gather's backward is a scatter-add with extreme
+            # duplicate skew (the pad news alone owns ~half the history
+            # slots), which XLA serializes; the MXU one-hot kernel makes it
+            # data-independent. jnp path kept for CPU / non-pallas configs.
+            c = getattr(self, "cfg", None)
+            if c is not None and getattr(c, "use_pallas", False):
+                from pytorch_news_recommender_tpu.ops.pallas.segment_scatter \
+                    import dedup_gather
+                take = functools.partial(
+                    dedup_gather,
+                    interpret=getattr(c, "pallas_interpret", False))
+            else:
+                take = functools.partial(jnp.take, axis=0)
+            browsed_vecs = take(uvecs, batch["browsed_idx"])
+            cand_vecs = take(uvecs, batch["candidate_idx"])
         else:
             browsed_ids = batch["browsed_ids"]
             cand_ids = batch["candidate_ids"]

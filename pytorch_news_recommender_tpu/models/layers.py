@@ -73,10 +73,15 @@ class AdditiveAttention(nn.Module):
         # uniform(scale) is U(0, scale); shift to U(-0.1, 0.1) like the
         # reference's .uniform_(-0.1, 0.1) (nrms_v1.py:89).
         cd = _dtype(self.compute_dtype)
-        return A.additive_attention(
+        pooled, wts = A.additive_attention_with_weights(
             x.astype(cd), w.astype(cd), b.astype(cd),
             (query - 0.1).astype(cd), mask,
         )
+        # No-op (and DCE'd) unless applied with mutable=["intermediates"] —
+        # see utils/inspect.py (the working version of the reference's
+        # commented-out attention-weight TensorBoard hook, nrms_v0.py:94-122).
+        self.sow("intermediates", "attn_weights", wts)
+        return pooled
 
 
 class WordEmbedding(nn.Module):
@@ -190,8 +195,13 @@ class AttentionPoolTower(nn.Module):
                 wo.astype(cd), bo.astype(cd), self.num_heads, mask2)
             if rate > 0.0:
                 h = nn.Dropout(rate, deterministic=False)(h)
-            out = A.additive_attention(
+            out, wts = A.additive_attention_with_weights(
                 h, aw.astype(cd), ab.astype(cd), aq.astype(cd), mask2)
+            # No-op/DCE'd unless mutable=["intermediates"]; see
+            # utils/inspect.py. The Pallas branch never materializes the
+            # weights, so inspection uses the jnp path (same params).
+            self.sow("intermediates", "attn_weights",
+                     wts.reshape(*lead, L))
         return out.reshape(*lead, D)
 
 

@@ -107,6 +107,20 @@ def additive_attention(
     Returns:
       ``[..., D]`` pooled vector.
     """
+    return additive_attention_with_weights(x, w, b, query, mask)[0]
+
+
+def additive_attention_with_weights(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    query: jax.Array,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """As :func:`additive_attention` but also returns the ``[..., L]``
+    softmax weights (the quantity the reference's commented-out TensorBoard
+    hook logs, ``nrms_v0.py:94-122``). When the weights output is unused XLA
+    dead-code-eliminates it, so this costs nothing on the hot path."""
     proj = jnp.tanh(
         jnp.einsum("...ld,dq->...lq", x, w,
                    preferred_element_type=jnp.float32) + b
@@ -116,8 +130,9 @@ def additive_attention(
     if mask is not None:
         scores = jnp.where(mask > 0, scores, NEG_INF)
     weight = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("...l,...ld->...d", weight.astype(x.dtype), x,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    pooled = jnp.einsum("...l,...ld->...d", weight.astype(x.dtype), x,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    return pooled, weight
 
 
 def dot_product_scores(

@@ -350,7 +350,9 @@ class Trainer:
     ):
         """Epoch loop mirroring ``train_eval.py:104-153``: eval every
         ``eval_step`` batches and at each epoch end; ``checkpoint_cb`` fires
-        when dev AUC improves past the floor."""
+        when dev AUC improves past the floor. Early stopping
+        (``TrainConfig.require_improvement``) implements the knob the
+        reference declares but never wires (``train_eval.py:151-152``)."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
@@ -360,11 +362,13 @@ class Trainer:
         best_auc = cfg.train.auc_checkpoint_floor
         history = []
         step_i = 0
+        best_step = 0
+        stop = False
         t0 = time.time()
         log = log_fn or (lambda d: None)
 
         def maybe_eval(state, tag):
-            nonlocal best_auc
+            nonlocal best_auc, best_step, stop
             if self.dataset.dev is None or len(self.dataset.dev) == 0:
                 return None
             m = self.evaluate(state)
@@ -374,8 +378,14 @@ class Trainer:
             log(m)
             if m["auc"] > best_auc:
                 best_auc = m["auc"]
+                best_step = step_i
                 if checkpoint_cb is not None:
                     checkpoint_cb(state, m, step_i)
+            elif (cfg.train.require_improvement
+                  and step_i - best_step >= cfg.train.require_improvement):
+                stop = True
+                log({"tag": "early_stop", "step": step_i,
+                     "best_step": best_step, "best_auc": best_auc})
             return m
 
         from pytorch_news_recommender_tpu.data.prefetch import device_prefetch
@@ -398,6 +408,10 @@ class Trainer:
                     })
                 if cfg.train.eval_step and step_i % cfg.train.eval_step == 0:
                     maybe_eval(state, f"step{step_i}")
+                    if stop:
+                        return state, history
             if eval_each_epoch:
                 maybe_eval(state, f"epoch{epoch}")
+                if stop:
+                    return state, history
         return state, history

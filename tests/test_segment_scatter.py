@@ -43,3 +43,40 @@ def test_dedup_gather_grad_matches_take():
     g2 = jax.grad(loss_ref)(table)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resolve_batch_dedup_gather_parity(cfg, dataset):
+    """resolve_batch's pallas dedup_gather path (interpret mode) must give
+    the same loss/grads as the jnp.take path."""
+    import dataclasses
+
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+    from pytorch_news_recommender_tpu.train.loop import Trainer, softmax_ce_loss
+
+    def grads_for(use_pallas):
+        c = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, use_pallas=use_pallas, pallas_interpret=True))
+        tr = Trainer(c, dataset)
+        state = tr.init_state(seed=0)
+        batch_np = next(train_batches(dataset.train, 32,
+                                      np.random.default_rng(0), dedup=True,
+                                      unique_buckets=(64, 128, 256, 512)))
+        assert "unique_ids" in batch_np, "need a dedup batch for this test"
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+        def loss(params):
+            scores = tr.model.apply({"params": params}, batch, tr.news_feats,
+                                    deterministic=True)
+            return softmax_ce_loss(scores)
+
+        return jax.value_and_grad(loss)(state.params)
+
+    (l_ref, g_ref) = grads_for(False)
+    (l_pal, g_pal) = grads_for(True)
+    np.testing.assert_allclose(float(l_ref), float(l_pal), rtol=2e-3)
+    ref_leaves = jax.tree_util.tree_leaves(g_ref)
+    pal_leaves = jax.tree_util.tree_leaves(g_pal)
+    for a, b in zip(ref_leaves, pal_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)

@@ -46,3 +46,24 @@ def test_fit_history_and_checkpoint_cb(cfg, dataset):
     )
     assert len(history) >= 1
     assert all("auc" in h for h in history)
+
+
+def test_early_stopping_fires(cfg, dataset):
+    """require_improvement works (the reference declares the knob at
+    config.py:58 but never sets its trigger, train_eval.py:151-152)."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, eval_step=1, require_improvement=2,
+            auc_checkpoint_floor=1.0,  # AUC can never "improve" past 1.0
+        ),
+    )
+    trainer = Trainer(cfg2, dataset)
+    logs = []
+    state, history = trainer.fit(num_epochs=3, log_fn=logs.append)
+    assert any(l.get("tag") == "early_stop" for l in logs)
+    # stopped after exactly require_improvement eval'd steps, not 3 epochs
+    n_batches = -(-len(dataset.train) // cfg2.train.batch_size)
+    assert len(history) < 3 * n_batches
