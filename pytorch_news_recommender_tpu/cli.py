@@ -108,6 +108,56 @@ def cmd_preprocess(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Dataset statistics over built artifacts — the working replacement for
+    the reference's ad-hoc ``_count_news_ids`` prints
+    (``data_processor.py:417-449``): split sizes, distinct news per split,
+    dev cold-start fraction, history/candidate distributions."""
+    import json
+
+    import numpy as np
+
+    from pytorch_news_recommender_tpu.data.dataset import RecDataset
+
+    ds = RecDataset.load(args.artifacts)
+    out = {"n_news": int(ds.news.n_news) - 1,
+           "vocab_words": int(ds.meta.n_words)}
+
+    train_news = set()
+    if ds.train is not None:
+        t = ds.train
+        train_news = set(np.unique(t.candidate_ids)) | set(
+            np.unique(t.browsed_ids))
+        train_news.discard(0)
+        hist_len = (t.browsed_ids != 0).sum(axis=1)
+        out["train"] = {
+            "impressions": len(t),
+            "distinct_news": len(train_news),
+            "history_len_mean": round(float(hist_len.mean()), 2),
+            "history_len_p50": int(np.percentile(hist_len, 50)),
+            "group_size": int(t.candidate_ids.shape[1]),
+        }
+    for name in ("dev", "test"):
+        split = getattr(ds, name)
+        if split is None:
+            continue
+        snews = set(np.unique(split.cand_flat))
+        snews.discard(0)
+        cc = split.candidate_counts
+        out[name] = {
+            "impressions": len(split),
+            "distinct_news": len(snews),
+            "new_vs_train": len(snews - train_news),
+            "candidates_mean": round(float(cc.mean()), 2),
+            "candidates_max": int(cc.max()),
+        }
+        if name == "dev" and split.label_flat is not None:
+            out[name]["ctr"] = round(
+                float(split.label_flat.sum() / max(len(split.label_flat), 1)), 4)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_bert_embeds(args) -> int:
     """Per-news BERT sentence vectors from a local HF encoder — replaces the
     reference's bert-as-service job (``data_processor.py:45-65``)."""
@@ -261,6 +311,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=2020)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("stats", help="dataset statistics over built artifacts")
+    p.add_argument("--artifacts", required=True,
+                   help="artifact dir written by preprocess")
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("bert-embeds",
                        help="news TSVs -> per-news BERT vectors npz "

@@ -98,3 +98,26 @@ def test_cli_train_eval_submit(tmp_path, monkeypatch):
     assert ranks.startswith("[") and ranks.endswith("]")
     parsed = [int(x) for x in ranks[1:-1].split(",")]
     assert sorted(parsed) == list(range(1, len(parsed) + 1))
+
+
+def test_cli_stats(tmp_path, capsys):
+    """`stats` replaces the reference's ad-hoc _count_news_ids prints
+    (data_processor.py:417-449) with structured JSON over artifacts."""
+    import json
+
+    from pytorch_news_recommender_tpu import cli
+    from pytorch_news_recommender_tpu.config import synthetic_config
+    from pytorch_news_recommender_tpu.data import synthetic
+
+    cfg = synthetic_config()
+    ds = synthetic.generate(cfg.data, seed=0, n_train=128, n_dev=16)
+    art = tmp_path / "artifacts"
+    ds.save(art)
+
+    rc = cli.main(["stats", "--artifacts", str(art)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["train"]["impressions"] == 128
+    assert out["dev"]["impressions"] == 16
+    assert out["dev"]["distinct_news"] <= out["n_news"]
+    assert 0.0 < out["dev"]["ctr"] < 1.0
