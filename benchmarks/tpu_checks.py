@@ -7,11 +7,15 @@ Timing uses the slope method (N chained calls + one terminal fetch) because
 (see .claude/skills/verify/SKILL.md).
 """
 
+import pathlib
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 from pytorch_news_recommender_tpu.ops import attention as A
 from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
@@ -67,6 +71,41 @@ def main():
     print(f"dropout mean-corr: {corr:.4f}  seed-overlap frac: {zero_frac:.3f}")
     assert corr > 0.97, corr
     assert not np.allclose(outs[0], outs[1])
+
+    # ---- dropout GRADIENT consistency (finite differences) ----
+    # The backward kernel regenerates the dropout mask from the same
+    # (seed, program_id) stream over the same block geometry as the forward;
+    # if the replayed mask diverged, d(loss)/d(bo) would disagree with the
+    # numeric derivative of the (deterministic, fixed-seed) forward.
+    from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
+        fused_news_encoder_diff,
+    )
+
+    gout = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    RATE, SEED = 0.3, 11
+
+    @jax.jit
+    def loss(bo):
+        out = fused_news_encoder_diff(
+            x, mask, p["wqkv"], p["bqkv"], p["wo"], bo, p["aw"], p["ab"],
+            p["aq"], num_heads=H, dropout_rate=RATE, seed=SEED)
+        return jnp.sum(out * gout)
+
+    gbo = np.asarray(jax.jit(jax.grad(loss))(p["bo"]))
+    # eps must be LARGE (0.1): the loss is an f32 sum over 78k terms, so at
+    # eps=1e-2 cancellation noise alone reads ~5% even with dropout off
+    # (measured); at 0.1 both on/off read <1%. bo enters the loss linearly
+    # through most of the path, so the large step is safe.
+    eps = 1e-1
+    worst = 0.0
+    for j in (0, 7, 150, 299):
+        e = np.zeros(D, np.float32)
+        e[j] = eps
+        num = (float(loss(p["bo"] + e)) - float(loss(p["bo"] - e))) / (2 * eps)
+        rel = abs(num - gbo[j]) / (abs(num) + abs(gbo[j]) + 1e-6)
+        worst = max(worst, rel)
+    print(f"dropout-grad FD rel-err (worst of 4 coords): {worst:.3e}")
+    assert worst < 3e-2, worst
 
     # ---- timing at MIND scale, bf16 ----
     Mb = 28672

@@ -80,16 +80,19 @@ def _encoder_kernel(
     wo_ref, bo_ref,      # [D, D], [1, D]
     aw_ref, ab_ref,      # [D, Q], [1, Q]
     aq_ref,              # [Q, 1]
-    out_ref,             # [BM, D]
-    qkv_scratch,         # [BM*L, 3D] f32 scratch (staged projections)
-    o_scratch,           # [BM*L, D] f32 scratch (attention output)
-    q3_s, k3_s, v3_s,    # [H, SUB, dh] f32 head-major staging
-    *,
+    *refs,               # out_ref [BM, D] (+ o1res_ref [R, D] if save_o1),
+                         # then scratches: qkv [R, 3D] f32, o [R, D] f32,
+                         # q3/k3/v3 [H, SUB, dh] head-major staging
     L: int,
     H: int,
     P: int,
     dropout_rate: float,
+    save_o1: bool = False,
 ):
+    if save_o1:
+        out_ref, o1res_ref, qkv_scratch, o_scratch, q3_s, k3_s, v3_s = refs
+    else:
+        out_ref, qkv_scratch, o_scratch, q3_s, k3_s, v3_s = refs
     R, D = x_ref.shape
     BM = R // L
     SUB = P * L
@@ -150,6 +153,11 @@ def _encoder_kernel(
     jax.lax.fori_loop(0, nsub, subtile, 0)
 
     o1 = o_scratch[:].astype(x.dtype)
+    if save_o1:
+        # Residual for the backward kernel: skips the whole attention
+        # replay (staging + score/value matmuls) there. Saved in the input
+        # dtype — exactly the operand the forward's out-projection consumes.
+        o1res_ref[:] = o1
     o2 = (
         jnp.dot(o1, wo_ref[:], preferred_element_type=jnp.float32)
         + bo_ref[:]
@@ -187,6 +195,7 @@ def _encoder_bwd_kernel(
     g_ref,               # [BM, D] cotangent of pooled output (f32)
     x_ref,               # [BM*L, D]
     maskf_ref,           # [BM*L, 1] f32
+    o1res_ref,           # [BM*L, D] forward attention output (residual)
     wqkv_ref, bqkv_ref,
     wo_ref, bo_ref,
     aw_ref, ab_ref,
@@ -194,7 +203,6 @@ def _encoder_bwd_kernel(
     dx_ref,              # [BM*L, D] out
     dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, daw_ref, dab_ref, daq_ref,
     qkv_s,               # [R, 3D] f32
-    o1_s,                # [R, D] f32
     o2_s,                # [R, D] f32
     keep_s,              # [R, D] f32 dropout keep/(1-p) scale
     dqkv_s,              # [R, 3D] f32
@@ -206,8 +214,11 @@ def _encoder_bwd_kernel(
     P: int,
     dropout_rate: float,
 ):
-    """Recompute-style backward: replays the forward (same PRNG stream) and
-    emits dx plus weight grads accumulated across the sequential TPU grid."""
+    """Backward: recomputes QKV projections + attention probs (cheap), reads
+    the attention output from the forward's ``o1`` residual (skipping the
+    expensive replay loop), regenerates the dropout mask from the same
+    (seed, program_id) PRNG stream, and emits dx plus weight grads
+    accumulated across the sequential TPU grid."""
     R, D = x_ref.shape
     BM = R // L
     SUB = P * L
@@ -255,22 +266,9 @@ def _encoder_bwd_kernel(
         e = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
         return e / jnp.sum(e, axis=-1, keepdims=True)   # [H, SUB, SUB]
 
-    # ---- forward replay: attention ----
-    def subtile_fwd(s, _):
-        r0 = pl.multiple_of(s * SUB, 8)
-        _stage_heads(r0)
-        probs = _probs(_pen(maskf_ref[pl.ds(r0, SUB), :]))
-        o3 = jax.lax.dot_general(
-            probs.astype(adt), v3_s[:], BV,
-            preferred_element_type=jnp.float32)
-        for h in range(H):
-            o1_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = o3[h]
-        return 0
-
-    jax.lax.fori_loop(0, nsub, subtile_fwd, 0)
-
+    # Attention output comes from the forward's residual — no replay loop.
     o2 = (
-        jnp.dot(o1_s[:].astype(x.dtype), wo_ref[:],
+        jnp.dot(o1res_ref[:], wo_ref[:],
                 preferred_element_type=jnp.float32)
         + bo_ref[:]
     )
@@ -330,7 +328,7 @@ def _encoder_bwd_kernel(
     if dropout_rate > 0.0:
         do2 = do2 * keep_s[:]
 
-    dwo = jax.lax.dot_general(o1_s[:], do2, NT,
+    dwo = jax.lax.dot_general(o1res_ref[:].astype(jnp.float32), do2, NT,
                           preferred_element_type=jnp.float32)            # [D, D]
     dbo = jnp.sum(do2, axis=0, keepdims=True)                    # [1, D]
     # stage do1 in o2_s (its last use was above) so subtiles can slice a ref
@@ -398,7 +396,7 @@ def _encoder_bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "dropout_rate", "block_news", "pack_news",
-                     "interpret"),
+                     "interpret", "save_o1"),
 )
 def fused_news_encoder(
     x: jax.Array,        # [M, L, D] embedded tokens (pad tokens zeroed)
@@ -417,12 +415,15 @@ def fused_news_encoder(
     block_news: int = 64,
     pack_news: int | None = None,
     interpret: bool = False,
+    save_o1: bool = False,
 ) -> jax.Array:
     """Fused encoder forward: ``[M, L, D] -> [M, D]``.
 
     ``dropout_rate > 0`` applies in-kernel inverted dropout on the projected
     attention output (train mode); pass the same ``seed`` to the backward
-    kernel for a bit-identical mask.
+    kernel for a bit-identical mask. With ``save_o1`` the pre-projection
+    attention output is returned as a second ``[M, L, D]`` array (the
+    backward kernel's residual).
     """
     M, L, D = x.shape
     Q = aw.shape[1]
@@ -439,11 +440,20 @@ def fused_news_encoder(
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _encoder_kernel, L=L, H=num_heads, P=P, dropout_rate=dropout_rate)
+        _encoder_kernel, L=L, H=num_heads, P=P, dropout_rate=dropout_rate,
+        save_o1=save_o1)
 
     flops_proj = 2 * M_pad * L * D * (3 * D + D + Q)
     flops_attn = 2 * 2 * (M_pad // P) * num_heads * SUB * SUB * (D // num_heads)
     flops_pool = 2 * M_pad * L * D
+
+    out_specs = [pl.BlockSpec((BM, D), lambda i, *_: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((M_pad, D), x.dtype)]
+    if save_o1:
+        out_specs.append(pl.BlockSpec((R, D), lambda i, *_: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((M_pad * L, D), x.dtype))
 
     out = pl.pallas_call(
         kernel,
@@ -470,8 +480,7 @@ def fused_news_encoder(
                 pl.BlockSpec((Q, 1), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((BM, D), lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((R, 3 * D), jnp.float32),
                 pltpu.VMEM((R, D), jnp.float32),
@@ -480,7 +489,7 @@ def fused_news_encoder(
                 pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((M_pad, D), x.dtype),
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_proj + flops_attn + flops_pool,
             bytes_accessed=x2.size * x2.dtype.itemsize + M_pad * D * 4,
@@ -494,30 +503,36 @@ def fused_news_encoder(
         wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1),
         aw, ab.reshape(1, -1), aq.reshape(-1, 1),
     )
-    return out[:M]
+    if save_o1:
+        return out[0][:M], out[1].reshape(M_pad, L, D)[:M]
+    return out[0][:M]
 
 
 def _bwd_pallas_call(
-    g, x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed,
+    g, x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed,
     *, num_heads, dropout_rate, block_news, pack_news, interpret,
 ):
     """Backward pallas_call: returns (dx, dwqkv, dbqkv, dwo, dbo, daw, dab,
     daq) with weight grads accumulated over the sequential grid."""
     M, L, D = x.shape
     Q = aw.shape[1]
-    # Backward holds ~2.5x the scratch of forward (qkv + dqkv + 3 [R, D]
-    # f32 buffers); halve the block and cap rows harder.
-    BM, P, SUB = _block_geometry(L, max(8, block_news // 2), pack_news,
-                                 max_rows=640)
+    # Geometry MUST match the forward exactly: the in-kernel dropout mask is
+    # regenerated from (seed, program_id) over an [R, D] block, so a
+    # different BM/grid would replay a DIFFERENT mask than the forward
+    # applied (silent gradient bias). VMEM fits the forward-size block: the
+    # backward's scratches total ~16 MB at the largest geometry in use.
+    BM, P, SUB = _block_geometry(L, block_news, pack_news)
     M_pad = -(-M // BM) * BM
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0), (0, 0)))
         mask = jnp.pad(mask, ((0, M_pad - M), (0, 0)))
         g = jnp.pad(g, ((0, M_pad - M), (0, 0)))
+        o1res = jnp.pad(o1res, ((0, M_pad - M), (0, 0), (0, 0)))
     grid = M_pad // BM
     R = BM * L
 
     x2 = x.reshape(M_pad * L, D)
+    o1res2 = o1res.reshape(M_pad * L, D)
     maskf = mask.reshape(M_pad * L, 1).astype(jnp.float32)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     g = g.astype(jnp.float32)
@@ -537,6 +552,7 @@ def _bwd_pallas_call(
                 pl.BlockSpec((BM, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((R, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 full(D, 3 * D), full(1, 3 * D),
                 full(D, D), full(1, D),
                 full(D, Q), full(1, Q),
@@ -551,7 +567,6 @@ def _bwd_pallas_call(
             ],
             scratch_shapes=[
                 pltpu.VMEM((R, 3 * D), jnp.float32),   # qkv
-                pltpu.VMEM((R, D), jnp.float32),       # o1
                 pltpu.VMEM((R, D), jnp.float32),       # o2 / do1
                 pltpu.VMEM((R, D), jnp.float32),       # dropout keep
                 pltpu.VMEM((R, 3 * D), jnp.float32),   # dqkv
@@ -575,7 +590,7 @@ def _bwd_pallas_call(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        seed_arr, g, x2, maskf,
+        seed_arr, g, x2, maskf, o1res2,
         wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1),
         aw, ab.reshape(1, -1), aq.reshape(-1, 1),
     )
@@ -598,13 +613,15 @@ def _make_diff_encoder(num_heads, dropout_rate, block_news, pack_news,
                                   seed=seed, **kw)
 
     def fwd(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
-        out = fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
-        return out, (x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+        out, o1res = fused_news_encoder(
+            x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed=seed,
+            save_o1=True, **kw)
+        return out, (x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
 
     def bwd(res, g):
-        x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed = res
+        x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed = res
         dx, dwqkv, dbqkv, dwo, dbo, daw, dab, daq = _bwd_pallas_call(
-            g, x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed, **kw)
+            g, x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed, **kw)
         import numpy as np
         zero_seed = np.zeros(np.shape(seed), jax.dtypes.float0)
         return (dx,
