@@ -1,0 +1,102 @@
+"""Serving-path benchmark on the attached accelerator.
+
+Measures the three serving costs of :class:`serve.Recommender` at MIND scale
+(50k-news corpus, NRMS):
+
+* corpus encode rate (news/sec) — the load-time cost of the two-tower cache;
+* per-request ``score`` latency (user tower + head over a padded candidate
+  list) at a few batch widths;
+* corpus-wide ``top_k`` retrieval latency ([D] @ [D, N] + lax.top_k).
+
+Request latencies through the axon tunnel include ~25 ms of fixed host-fetch
+RTT; the marginal (slope) number excludes it and is the on-host figure.
+
+Run: python benchmarks/serve_bench.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_news_recommender_tpu.config import (
+        Config, DataConfig, ModelConfig, TrainConfig,
+    )
+    from pytorch_news_recommender_tpu.data import synthetic
+    from pytorch_news_recommender_tpu.serve import Recommender
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+    from pytorch_news_recommender_tpu.utils.compile_cache import enable
+
+    enable()
+    cfg = Config(
+        data=DataConfig(dataset="synthetic"),
+        model=ModelConfig(
+            word_embed_size=300, num_attention_heads=10, user_heads_num=10,
+            query_vector_dim=200, compute_dtype="bfloat16", use_pallas=True,
+        ),
+        train=TrainConfig(batch_size=128),
+    )
+    ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
+                            n_train=128, n_dev=8)
+    trainer = Trainer(cfg, ds)
+    state = trainer.init_state(seed=0)
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    rec = Recommender(cfg, ds, state.params)
+    _ = np.asarray(rec.news_vecs[:1, :1])
+    dt = time.perf_counter() - t0
+    n = ds.news.n_news
+    print(f"corpus encode (cold, incl. compile): {n} news in {dt:.2f}s",
+          flush=True)
+    # warm encode rate: same jit cache, fresh Recommender
+    t0 = time.perf_counter()
+    rec2 = Recommender(cfg, ds, state.params)
+    _ = np.asarray(rec2.news_vecs[:1, :1])
+    dt = time.perf_counter() - t0
+    print(f"corpus encode (warm): {n} news in {dt:.2f}s -> "
+          f"{n/dt:,.0f} news/s", flush=True)
+    del rec2
+
+    rng = np.random.default_rng(0)
+    hist = list(rng.integers(1, n, size=30))
+
+    # per-request score latency (marginal over a chain of requests)
+    for width in (16, 300):
+        cands = list(rng.integers(1, n, size=width))
+        rec.score(hist, cands)  # compile
+        times = {}
+        for N in (5, 25):
+            t0 = time.perf_counter()
+            for _ in range(N):
+                rec.score(hist, cands)
+            times[N] = time.perf_counter() - t0
+        ms = (times[25] - times[5]) / 20 * 1e3
+        print(f"score({width} candidates): {ms:.2f} ms/request "
+              f"(incl. host round-trip)", flush=True)
+
+    # corpus-wide top-k
+    rec.top_k(hist, k=10)  # compile
+    times = {}
+    for N in (5, 25):
+        t0 = time.perf_counter()
+        for _ in range(N):
+            rec.top_k(hist, k=10)
+        times[N] = time.perf_counter() - t0
+    ms = (times[25] - times[5]) / 20 * 1e3
+    print(f"top_k(10) over {n}-news corpus: {ms:.2f} ms/request "
+          f"(incl. host round-trip)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

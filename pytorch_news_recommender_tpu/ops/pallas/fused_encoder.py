@@ -113,44 +113,40 @@ def _encoder_kernel(
     rows_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0) // L
     cols_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1) // L
     blockdiag = (rows_n == cols_n).astype(jnp.float32)
-    B3 = (((2,), (2,)), ((0,), (0,)))   # batched q @ k^T over heads
-    BV = (((2,), (1,)), ((0,), (0,)))   # batched probs @ v over heads
 
-    def subtile(s, _):
-        r0 = pl.multiple_of(s * SUB, 8)
-        mvec = maskf_ref[pl.ds(r0, SUB), :]  # [SUB, 1]
-        # Additive penalty: 0 on valid (own-news, both-tokens-real) pairs,
-        # -1e9 elsewhere. Shared by all heads.
-        pen = (
-            jnp.dot(mvec, mvec.reshape(1, SUB),
-                    preferred_element_type=jnp.float32)
-            * blockdiag
-            - 1.0
-        ) * 1e9
-        # Head-major restage: H*3 independent copies that pipeline freely,
-        # then ONE batched op chain over all heads — the per-head loop of
-        # small dependent ops serializes ~600 cycles/iteration otherwise.
-        # Staging is in the INPUT dtype (bf16 in training): 4x MXU rate on
-        # the attention dots with f32 accumulation — the same operand
-        # precision as the jnp reference (bf16 q,k,v matmuls).
-        adt = q3_s.dtype
-        for h in range(H):
-            q3_s[h] = qkv_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh].astype(adt)
-            k3_s[h] = qkv_scratch[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh].astype(adt)
-            v3_s[h] = qkv_scratch[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh].astype(adt)
-        scores = jax.lax.dot_general(
-            q3_s[:], k3_s[:], B3, preferred_element_type=jnp.float32
-        ) + pen                                             # [H, SUB, SUB]
-        e = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
-        rowsum = jnp.sum(e, axis=-1, keepdims=True)         # [H, SUB, 1]
-        o3 = jax.lax.dot_general(
-            e.astype(adt), v3_s[:], BV,
-            preferred_element_type=jnp.float32) / rowsum
-        for h in range(H):
-            o_scratch[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = o3[h]
-        return 0
-
-    jax.lax.fori_loop(0, nsub, subtile, 0)
+    # Head-major restage of the WHOLE block (H*3 large strided copies), then
+    # the attention math runs as single dot_generals with one folded
+    # (head x subtile) batch dim — no per-subtile loop, no small dependent
+    # ops to serialize. Staging is in the INPUT dtype (bf16 in training):
+    # 4x MXU rate on the attention dots with f32 accumulation — the same
+    # operand precision as the jnp reference (bf16 q,k,v matmuls).
+    adt = q3_s.dtype
+    for h in range(H):
+        q3_s[h] = qkv_scratch[:, h * dh:(h + 1) * dh].astype(adt)
+        k3_s[h] = qkv_scratch[:, D + h * dh: D + (h + 1) * dh].astype(adt)
+        v3_s[h] = qkv_scratch[:, 2 * D + h * dh: 2 * D + (h + 1) * dh].astype(adt)
+    HN = H * nsub
+    q4 = q3_s[:].reshape(HN, SUB, dh)
+    k4 = k3_s[:].reshape(HN, SUB, dh)
+    v4 = v3_s[:].reshape(HN, SUB, dh)
+    # Additive penalty: 0 on valid (own-news, both-tokens-real) pairs,
+    # -1e9 elsewhere. Shared by all heads.
+    m4 = maskf_ref[:].reshape(nsub, SUB, 1)
+    pen = (jax.lax.dot_general(m4, m4, (((2,), (2,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+           * blockdiag - 1.0) * 1e9                      # [nsub, SUB, SUB]
+    pen = jnp.broadcast_to(pen, (H, nsub, SUB, SUB)).reshape(HN, SUB, SUB)
+    B1 = (((2,), (2,)), ((0,), (0,)))   # batched q @ k^T
+    BV1 = (((2,), (1,)), ((0,), (0,)))  # batched probs @ v
+    scores = jax.lax.dot_general(
+        q4, k4, B1, preferred_element_type=jnp.float32) + pen
+    e = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    rowsum = jnp.sum(e, axis=-1, keepdims=True)          # [HN, SUB, 1]
+    o4 = jax.lax.dot_general(
+        e.astype(adt), v4, BV1, preferred_element_type=jnp.float32) / rowsum
+    for h in range(H):
+        o_scratch[:, h * dh:(h + 1) * dh] = o4[h * nsub:(h + 1) * nsub
+                                               ].reshape(R, dh)
 
     o1 = o_scratch[:].astype(x.dtype)
     if save_o1:
@@ -240,31 +236,12 @@ def _encoder_bwd_kernel(
     rows_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0) // L
     cols_n = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1) // L
     blockdiag = (rows_n == cols_n).astype(jnp.float32)
-    B3 = (((2,), (2,)), ((0,), (0,)))   # batched A @ B^T over heads
-    BV = (((2,), (1,)), ((0,), (0,)))   # batched probs @ v over heads
-    BT = (((1,), (1,)), ((0,), (0,)))   # batched A^T @ B over heads
-
-    def _pen(mvec):
-        return (
-            jnp.dot(mvec, mvec.reshape(1, SUB),
-                    preferred_element_type=jnp.float32)
-            * blockdiag
-            - 1.0
-        ) * 1e9
+    HN = H * nsub
+    B1 = (((2,), (2,)), ((0,), (0,)))   # batched A @ B^T
+    BV1 = (((2,), (1,)), ((0,), (0,)))  # batched probs/dsc @ v/k
+    BT1 = (((1,), (1,)), ((0,), (0,)))  # batched A^T @ B
 
     adt = q3_s.dtype  # bf16 staging in training: 4x MXU attention dots
-
-    def _stage_heads(r0):
-        for h in range(H):
-            q3_s[h] = qkv_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh].astype(adt)
-            k3_s[h] = qkv_s[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh].astype(adt)
-            v3_s[h] = qkv_s[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh].astype(adt)
-
-    def _probs(pen):
-        scores = jax.lax.dot_general(
-            q3_s[:], k3_s[:], B3, preferred_element_type=jnp.float32) + pen
-        e = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
-        return e / jnp.sum(e, axis=-1, keepdims=True)   # [H, SUB, SUB]
 
     # Attention output comes from the forward's residual — no replay loop.
     o2 = (
@@ -335,34 +312,44 @@ def _encoder_bwd_kernel(
     o2_s[:] = jax.lax.dot_general(do2, wo_ref[:].astype(jnp.float32), TN,
                                   preferred_element_type=jnp.float32)    # [R, D]
 
-    # attention backward (replay probs, all heads batched)
-    def subtile_bwd(s, _):
-        r0 = pl.multiple_of(s * SUB, 8)
-        _stage_heads(r0)
-        for h in range(H):
-            g3_s[h] = o2_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh].astype(adt)
-        probs = _probs(_pen(maskf_ref[pl.ds(r0, SUB), :]))
-        probs_a = probs.astype(adt)
-        doh = g3_s[:]                                            # [H, SUB, dh]
-        dv = jax.lax.dot_general(probs_a, doh, BT,
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(doh, v3_s[:], B3,
-                                 preferred_element_type=jnp.float32)
-        pdp = probs * dp
-        dsc = (pdp - probs * jnp.sum(pdp, axis=-1, keepdims=True)).astype(adt)
-        # q was pre-scaled: dq (wrt unscaled q) needs * scale; dk uses the
-        # scaled q directly (chain rule through q' = q * scale).
-        dq = jax.lax.dot_general(dsc, k3_s[:], BV,
-                                 preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(dsc, q3_s[:], BT,
-                                 preferred_element_type=jnp.float32)
-        for h in range(H):
-            dqkv_s[pl.ds(r0, SUB), h * dh:(h + 1) * dh] = dq[h]
-            dqkv_s[pl.ds(r0, SUB), D + h * dh: D + (h + 1) * dh] = dk[h]
-            dqkv_s[pl.ds(r0, SUB), 2 * D + h * dh: 2 * D + (h + 1) * dh] = dv[h]
-        return 0
-
-    jax.lax.fori_loop(0, nsub, subtile_bwd, 0)
+    # attention backward: block-wide staging + recomputed probs, all
+    # (head x subtile) pairs in one folded batch dim — no subtile loop
+    for h in range(H):
+        q3_s[h] = qkv_s[:, h * dh:(h + 1) * dh].astype(adt)
+        k3_s[h] = qkv_s[:, D + h * dh: D + (h + 1) * dh].astype(adt)
+        v3_s[h] = qkv_s[:, 2 * D + h * dh: 2 * D + (h + 1) * dh].astype(adt)
+        g3_s[h] = o2_s[:, h * dh:(h + 1) * dh].astype(adt)
+    q4 = q3_s[:].reshape(HN, SUB, dh)
+    k4 = k3_s[:].reshape(HN, SUB, dh)
+    v4 = v3_s[:].reshape(HN, SUB, dh)
+    g4 = g3_s[:].reshape(HN, SUB, dh)
+    m4 = maskf_ref[:].reshape(nsub, SUB, 1)
+    pen = (jax.lax.dot_general(m4, m4, (((2,), (2,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+           * blockdiag - 1.0) * 1e9
+    pen = jnp.broadcast_to(pen, (H, nsub, SUB, SUB)).reshape(HN, SUB, SUB)
+    sc = jax.lax.dot_general(
+        q4, k4, B1, preferred_element_type=jnp.float32) + pen
+    e_att = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
+    probs = e_att / jnp.sum(e_att, axis=-1, keepdims=True)   # [HN, SUB, SUB]
+    probs_a = probs.astype(adt)
+    dv = jax.lax.dot_general(probs_a, g4, BT1,
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g4, v4, B1,
+                             preferred_element_type=jnp.float32)
+    pdp = probs * dp
+    dsc = (pdp - probs * jnp.sum(pdp, axis=-1, keepdims=True)).astype(adt)
+    # q was pre-scaled: dq (wrt unscaled q) needs * scale; dk uses the
+    # scaled q directly (chain rule through q' = q * scale).
+    dq = jax.lax.dot_general(dsc, k4, BV1,
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(dsc, q4, BT1,
+                             preferred_element_type=jnp.float32)
+    for h in range(H):
+        hs = slice(h * nsub, (h + 1) * nsub)
+        dqkv_s[:, h * dh:(h + 1) * dh] = dq[hs].reshape(R, dh)
+        dqkv_s[:, D + h * dh: D + (h + 1) * dh] = dk[hs].reshape(R, dh)
+        dqkv_s[:, 2 * D + h * dh: 2 * D + (h + 1) * dh] = dv[hs].reshape(R, dh)
 
     dqkv = dqkv_s[:]
     dwqkv = jax.lax.dot_general(x.astype(jnp.float32), dqkv, NT,
@@ -484,9 +471,9 @@ def fused_news_encoder(
             scratch_shapes=[
                 pltpu.VMEM((R, 3 * D), jnp.float32),
                 pltpu.VMEM((R, D), jnp.float32),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, R, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, R, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, R, D // num_heads), x2.dtype),
             ],
         ),
         out_shape=out_shapes,
@@ -570,10 +557,10 @@ def _bwd_pallas_call(
                 pltpu.VMEM((R, D), jnp.float32),       # o2 / do1
                 pltpu.VMEM((R, D), jnp.float32),       # dropout keep
                 pltpu.VMEM((R, 3 * D), jnp.float32),   # dqkv
-                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
-                pltpu.VMEM((num_heads, SUB, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, R, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, R, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, R, D // num_heads), x2.dtype),
+                pltpu.VMEM((num_heads, R, D // num_heads), x2.dtype),
             ],
         ),
         out_shape=[
