@@ -80,6 +80,7 @@ from pytorch_news_recommender_tpu.models.disan import DiSANRec
 from pytorch_news_recommender_tpu.models.gnn import GNNRec
 from pytorch_news_recommender_tpu.models.hierec import HieRec
 from pytorch_news_recommender_tpu.models.nrms_entity import NRMSEntity
+from pytorch_news_recommender_tpu.models.npa import NPA
 from pytorch_news_recommender_tpu.models.tanr import TANR
 
 
@@ -108,6 +109,11 @@ def _gnn(cfg: ModelConfig) -> nn.Module:
     return GNNRec(cfg)
 
 
+@register("npa")
+def _npa(cfg: ModelConfig) -> nn.Module:
+    return NPA(cfg)
+
+
 __all__ = ["build_model", "available_models", "register",
            "NRMS", "NAML", "NRMSBert", "ListRank", "LSTUR",
-           "DiSANRec", "HieRec", "GNNRec", "NRMSEntity", "TANR"]
+           "DiSANRec", "HieRec", "GNNRec", "NRMSEntity", "TANR", "NPA"]

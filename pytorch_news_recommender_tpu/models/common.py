@@ -51,6 +51,10 @@ class RecModel(nn.Module):
     # transform leaves it alone).
     FEAT_KEYS = ("title",)
 
+    # Families whose news vectors are user-independent (everyone but NPA)
+    # support the cached two-tower eval/serving path.
+    TWO_TOWER = True
+
     # Families that sow auxiliary losses (flax ``losses`` collection) set
     # this True; the trainer then applies with ``mutable=["losses"]``.
     # Measured on v5e: tracing EVERY family with mutable collections

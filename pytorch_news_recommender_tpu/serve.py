@@ -46,6 +46,11 @@ class Recommender:
         self.cfg = cfg
         self.model_cfg = cfg.model.with_artifact_meta(dataset.meta)
         self.model = build_model(self.model_cfg)
+        if not getattr(self.model, "TWO_TOWER", True):
+            raise ValueError(
+                f"model family '{cfg.model.name}' has user-conditioned news "
+                "vectors (TWO_TOWER=False) and cannot serve from a cached "
+                "corpus table; score per request with Trainer.score_fn()")
         self.params = params
         self.news_feats = {k: jnp.asarray(v)
                            for k, v in dataset.news.as_dict().items()}

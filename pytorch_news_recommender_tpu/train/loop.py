@@ -292,7 +292,10 @@ class Trainer:
         bs = self.cfg.train.eval_batch_size
 
         two_tower = (self.cfg.train.eval_two_tower
-                     and hasattr(self.model, "score_from_vecs"))
+                     and hasattr(self.model, "score_from_vecs")
+                     # families with user-conditioned news vectors (NPA)
+                     # cannot cache a corpus table
+                     and getattr(self.model, "TWO_TOWER", True))
         if two_tower:
             news_vecs = self.compute_news_vectors(params)
             score_v = self.score_from_vecs_fn()
