@@ -212,6 +212,14 @@ def cmd_train(args) -> int:
         state = CheckpointManager(args.load).restore(state)
         print(f"restored checkpoint from {args.load} "
               f"(step {int(state.step)})", file=sys.stderr)
+    elif args.auto_resume and mngr.latest_step() is not None:
+        # crash-restart recovery: pick up the run's own latest checkpoint
+        # (full state: params + optimizer + step, so optimization continues
+        # exactly — unlike the reference, which restarts the optimizer,
+        # SURVEY.md §5 checkpoint/resume)
+        state = mngr.restore(state)
+        print(f"auto-resumed from {save_dir} (step {int(state.step)})",
+              file=sys.stderr)
 
     log = JsonlLogger(save_dir / "metrics.jsonl")
 
@@ -231,6 +239,30 @@ def cmd_train(args) -> int:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {args.profile_dir}",
                   file=sys.stderr)
+    if args.log_attention:
+        # Attention-weight summaries over one batch (the working version of
+        # the reference's commented-out TensorBoard hook, nrms_v0.py:94-122).
+        # Runs the jnp path (same params) — the fused kernel never
+        # materializes the weights.
+        import jax.numpy as jnp
+
+        from pytorch_news_recommender_tpu import models as _models
+        from pytorch_news_recommender_tpu.data.loader import train_batches
+        from pytorch_news_recommender_tpu.utils.inspect import (
+            attention_maps, attention_summary,
+        )
+
+        icfg = dataclasses.replace(trainer.model.cfg, use_pallas=False)
+        imodel = _models.build_model(icfg)
+        import numpy as _np
+        batch_np = next(train_batches(ds.train, min(64, cfg.train.batch_size),
+                                      _np.random.default_rng(0), dedup=False))
+        ibatch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        maps = attention_maps(imodel, state.params, ibatch,
+                              trainer.news_feats)
+        for site, summ in attention_summary(maps).items():
+            log({"tag": "attention", "site": site, **summ})
+
     if ds.dev is not None and len(ds.dev):
         final = trainer.evaluate(state)
         log({"tag": "final", **final})
@@ -350,6 +382,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=422)  # run_v0.py:33-41
     p.add_argument("--save-dir", default="save_model")
     p.add_argument("--load", default=None, help="checkpoint dir to resume")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="restore this run's latest checkpoint from the save "
+                        "dir if one exists (crash-restart recovery)")
+    p.add_argument("--log-attention", action="store_true",
+                   help="log per-site additive-attention weight summaries "
+                        "to metrics.jsonl after training")
     p.add_argument("--description", default="")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run here")

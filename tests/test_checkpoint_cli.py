@@ -121,3 +121,40 @@ def test_cli_stats(tmp_path, capsys):
     assert out["dev"]["impressions"] == 16
     assert out["dev"]["distinct_news"] <= out["n_news"]
     assert 0.0 < out["dev"]["ctr"] < 1.0
+
+
+def test_cli_auto_resume(tmp_path, capsys):
+    """--auto-resume restores the run's own latest checkpoint (full state,
+    so optimization continues exactly — crash-restart recovery, unlike the
+    reference's optimizer-resetting --load, SURVEY.md §5)."""
+    from pytorch_news_recommender_tpu import cli
+
+    save = tmp_path / "save"
+    common = ["train", "--data", "synthetic", "--model", "nrms",
+              "--epochs", "1", "--batch-size", "64",
+              "--save-dir", str(save), "--seed", "3"]
+    assert cli.main(common) == 0
+    capsys.readouterr()
+    assert cli.main(common + ["--auto-resume"]) == 0
+    err = capsys.readouterr().err
+    assert "auto-resumed" in err, err
+
+
+def test_cli_log_attention(tmp_path):
+    """--log-attention writes per-site attention summaries to metrics.jsonl."""
+    import json
+
+    from pytorch_news_recommender_tpu import cli
+
+    save = tmp_path / "save"
+    rc = cli.main(["train", "--data", "synthetic", "--model", "nrms",
+                   "--epochs", "1", "--batch-size", "64",
+                   "--save-dir", str(save), "--seed", "4",
+                   "--log-attention"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             (save / "nrms" / "metrics.jsonl").read_text().splitlines()]
+    att = [l for l in lines if l.get("tag") == "attention"]
+    assert len(att) >= 2  # news-tower (title) + user-tower (history) sites
+    for a in att:
+        assert 0.0 <= a["entropy"] <= 1.0 + 1e-6
