@@ -88,6 +88,9 @@ class ModelConfig:
     list_title_size: int = 512          # reference title_size (config.py:66)
     # nrms_bert
     bert_trainable: bool = True         # reference freeze=False (nrms.py:222-224)
+    # word-table analogue of torch Embedding.from_pretrained(freeze=...)
+    # (reference nrms.py:121-123); True keeps GloVe rows fixed
+    freeze_word_embeddings: bool = False
     # lstur
     long_short_term_method: str = "ini"  # 'ini' | 'con' (lstur.py:112-142)
     # disan

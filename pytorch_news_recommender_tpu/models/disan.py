@@ -140,7 +140,8 @@ class DiSANRec(RecModel):
         c = self.cfg
         self.d_h = c.disan_hidden or c.word_embed_size
         self.word_embedding = WordEmbedding(
-            c.n_words, c.word_embed_size, c.compute_dtype)
+            c.n_words, c.word_embed_size, c.compute_dtype,
+            trainable=not c.freeze_word_embeddings)
         self.disan = DiSANEncoder(self.d_h, c.dropout, c.compute_dtype)
         self.user_encoder = UserEncoder(
             model_dim=2 * self.d_h,

@@ -90,6 +90,7 @@ class GNNRec(RecModel):
             compute_dtype=c.compute_dtype,
             use_pallas=c.use_pallas,
             pallas_interpret=c.pallas_interpret,
+            freeze_embeddings=c.freeze_word_embeddings,
         )
         self.gat_layers = [
             GATLayer(model_dim=c.word_embed_size,

@@ -96,6 +96,8 @@ class WordEmbedding(nn.Module):
     n_words: int
     embed_size: int
     compute_dtype: str = "float32"
+    trainable: bool = True  # reference Embedding.from_pretrained(freeze=...)
+                            # (nrms.py:121-123, nrms.py:222-224)
 
     @nn.compact
     def __call__(self, ids: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -104,6 +106,8 @@ class WordEmbedding(nn.Module):
             return emb.at[0].set(0.0)
 
         table = self.param("embedding", init, (self.n_words, self.embed_size))
+        if not self.trainable:
+            table = jax.lax.stop_gradient(table)
         out = jnp.take(table, ids, axis=0).astype(_dtype(self.compute_dtype))
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
@@ -220,12 +224,15 @@ class NewsEncoder(nn.Module):
     compute_dtype: str = "float32"
     use_pallas: bool = False
     pallas_interpret: bool = False
+    freeze_embeddings: bool = False
 
     @nn.compact
     def __call__(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
         mask = (ids != 0).astype(jnp.float32)
         x = WordEmbedding(self.n_words, self.word_embed_size,
-                          self.compute_dtype, name="word_embedding")(ids, mask)
+                          self.compute_dtype,
+                          trainable=not self.freeze_embeddings,
+                          name="word_embedding")(ids, mask)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return AttentionPoolTower(
             model_dim=self.word_embed_size, num_heads=self.num_heads,

@@ -54,13 +54,16 @@ class CNNTitleEncoder(nn.Module):
     query_dim: int
     dropout: float
     compute_dtype: str
+    freeze_embeddings: bool = False
 
     @nn.compact
     def __call__(self, word_ids: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         mask = (word_ids != 0).astype(jnp.float32)
         x = WordEmbedding(self.n_words, self.word_embed_size,
-                          self.compute_dtype, name="word_embedding")(
+                          self.compute_dtype,
+                          trainable=not self.freeze_embeddings,
+                          name="word_embedding")(
             word_ids, mask)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         lead = x.shape[:-2]
@@ -115,7 +118,8 @@ class LSTUR(RecModel):
             n_words=c.n_words, word_embed_size=c.word_embed_size,
             num_filters=c.num_filters, kernel_size=c.kernel_size,
             query_dim=c.query_vector_dim, dropout=c.dropout,
-            compute_dtype=c.compute_dtype)
+            compute_dtype=c.compute_dtype,
+            freeze_embeddings=c.freeze_word_embeddings)
         self.news_dim = c.num_filters + 2 * c.cate_embed_size
         if c.long_short_term_method == "ini":
             self.gru_dim = self.news_dim

@@ -56,7 +56,8 @@ class NAML(RecModel):
     def setup(self):
         c = self.cfg
         self.word_embedding = WordEmbedding(
-            c.n_words, c.word_embed_size, c.compute_dtype)
+            c.n_words, c.word_embed_size, c.compute_dtype,
+            trainable=not c.freeze_word_embeddings)
         # one tower shared by the title and abstract views
         self.text_tower = AttentionPoolTower(
             model_dim=c.word_embed_size,

@@ -78,7 +78,8 @@ class NPA(RecModel):
         self.word_query = nn.Dense(c.query_vector_dim, name="word_query")
         self.news_query = nn.Dense(c.query_vector_dim, name="news_query")
         self.word_embedding = WordEmbedding(
-            c.n_words, c.word_embed_size, c.compute_dtype)
+            c.n_words, c.word_embed_size, c.compute_dtype,
+            trainable=not c.freeze_word_embeddings)
         self.title_cnn = nn.Conv(
             c.num_filters, kernel_size=(c.kernel_size,), padding="SAME",
             dtype=jnp.dtype(c.compute_dtype), name="title_cnn")

@@ -45,6 +45,7 @@ class NRMS(RecModel):
             compute_dtype=c.compute_dtype,
             use_pallas=c.use_pallas,
             pallas_interpret=c.pallas_interpret,
+            freeze_embeddings=c.freeze_word_embeddings,
         )
         self.user_encoder = UserEncoder(
             model_dim=c.word_embed_size,

@@ -54,6 +54,7 @@ class NRMSEntity(RecModel):
             compute_dtype=c.compute_dtype,
             use_pallas=c.use_pallas,
             pallas_interpret=c.pallas_interpret,
+            freeze_embeddings=c.freeze_word_embeddings,
         )
         self.entity_embedding = PadEmbedding(
             c.entity_nums, c.entity_embed_size, c.compute_dtype)

@@ -47,6 +47,7 @@ class TANR(RecModel):
             compute_dtype=c.compute_dtype,
             use_pallas=c.use_pallas,
             pallas_interpret=c.pallas_interpret,
+            freeze_embeddings=c.freeze_word_embeddings,
         )
         self.topic_head = nn.Dense(c.category_nums,
                                    dtype=jnp.dtype(c.compute_dtype))

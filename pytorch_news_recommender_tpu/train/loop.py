@@ -99,13 +99,17 @@ class Trainer:
         self._train_step = None
         self._score_fns: Dict[Any, Callable] = {}
         self._state_shardings = None
+        # Build the optimizer ONCE: optax transforms are pytree *metadata*
+        # of TrainState, so two init_state() calls with distinct tx objects
+        # would produce states incompatible with already-jitted step fns.
+        self._tx = make_optimizer(cfg)
 
     # ---- state ----
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.cfg.train.seed if seed is None else seed
         rng = jax.random.PRNGKey(seed)
         dummy = self._dummy_batch()
-        tx = make_optimizer(self.cfg)
+        tx = self._tx
 
         def init_fn(rng):
             variables = self.model.init(

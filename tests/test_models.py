@@ -101,3 +101,25 @@ def test_train_step(cfg, full_dataset, name):
         if i >= 4:
             break
     assert all(np.isfinite(l) for l in losses), losses
+
+
+def test_freeze_word_embeddings(cfg, full_dataset):
+    """freeze_word_embeddings pins the GloVe table (the functional analogue
+    of torch Embedding.from_pretrained(freeze=True), reference
+    nrms.py:121-123) while the rest of the model still trains."""
+    from pytorch_news_recommender_tpu.config import Config
+    d = cfg.to_dict()
+    d["model"]["name"] = "nrms"
+    d["model"]["freeze_word_embeddings"] = True
+    d["train"]["batch_size"] = 16
+    trainer = Trainer(Config.from_dict(d), full_dataset)
+    state = trainer.init_state(seed=0)
+    w0 = np.asarray(state.params["news_encoder"]["word_embedding"]["embedding"])
+    q0 = np.asarray(state.params["news_encoder"]["tower"]["wqkv"])
+    batch = next(train_batches(full_dataset.train, 16,
+                               np.random.default_rng(0)))
+    state, _ = trainer.run_step(state, batch, jax.random.PRNGKey(0))
+    w1 = np.asarray(state.params["news_encoder"]["word_embedding"]["embedding"])
+    q1 = np.asarray(state.params["news_encoder"]["tower"]["wqkv"])
+    assert np.array_equal(w0, w1), "frozen table moved"
+    assert not np.array_equal(q0, q1), "tower params did not train"
