@@ -210,7 +210,12 @@ class AttentionPoolTower(nn.Module):
 
 
 class NewsEncoder(nn.Module):
-    """Word-level news tower: embed -> dropout -> MHSA -> dropout -> pool.
+    """Word-level news tower: embed -> MHSA -> dropout -> pool.
+
+    Dropout sits ONLY after the MHSA, exactly like the reference tower
+    (``nrms_v1.py:159-162``) — an earlier revision also dropped out the
+    word embeddings, which is both off-reference and expensive (the
+    bernoulli mask for ``[M*L, D]`` costs ~74M random bits per step).
 
     Operates on ``ids: [..., L]`` with any leading shape — history and
     candidate news for a whole batch are encoded in ONE call.
@@ -233,7 +238,6 @@ class NewsEncoder(nn.Module):
                           self.compute_dtype,
                           trainable=not self.freeze_embeddings,
                           name="word_embedding")(ids, mask)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return AttentionPoolTower(
             model_dim=self.word_embed_size, num_heads=self.num_heads,
             query_dim=self.query_dim, dropout=self.dropout,
