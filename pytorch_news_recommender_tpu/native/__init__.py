@@ -71,6 +71,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(i64p), ctypes.POINTER(i32p), ctypes.POINTER(i8p),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.mind_batch_dedup.restype = ctypes.c_int64
+    lib.mind_batch_dedup.argtypes = [
+        i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+        i32p, ctypes.c_int64, i32p, i32p,
+    ]
     _lib = lib
     return lib
 
@@ -166,3 +171,35 @@ def build_eval_split(
         _take(lib, cand_p, (L,), np.int32),
         _take(lib, label_p, (L,), np.int8),
     )
+
+
+def batch_dedup(
+    browsed: np.ndarray, cand: np.ndarray,
+) -> Optional[Tuple[int, np.ndarray, np.ndarray, np.ndarray]]:
+    """Native per-batch news dedup (runtime hot path).
+
+    Bit-identical to ``np.unique(concat([0], browsed, cand),
+    return_inverse=True)``: returns ``(u, uniq_buf, browsed_idx, cand_idx)``
+    where ``uniq_buf[:u]`` holds the ascending distinct ids (pad id 0 always
+    included) and the index arrays are ranks into it, shaped like the
+    inputs. ``uniq_buf`` is sized ``browsed.size + cand.size + 1`` and
+    zero-padded past ``u``, so callers can slice any bucket width ``>= u``
+    from it directly. Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    browsed = np.ascontiguousarray(browsed, np.int32)
+    cand = np.ascontiguousarray(cand, np.int32)
+    nb, nc = browsed.size, cand.size
+    cap = nb + nc + 1
+    uniq = np.empty(cap, np.int32)
+    bidx = np.empty(nb, np.int32)
+    cidx = np.empty(nc, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u = lib.mind_batch_dedup(
+        browsed.ctypes.data_as(i32p), nb, cand.ctypes.data_as(i32p), nc,
+        uniq.ctypes.data_as(i32p), cap,
+        bidx.ctypes.data_as(i32p), cidx.ctypes.data_as(i32p))
+    assert u > 0, "mind_batch_dedup failed"
+    return int(u), uniq, bidx.reshape(browsed.shape), cidx.reshape(cand.shape)

@@ -262,4 +262,58 @@ int64_t mind_build_eval(
   return m;
 }
 
+// ---- runtime batcher ----
+//
+// Per-batch news deduplication for the training hot path (the runtime
+// counterpart of data/loader.py::dedup_batch, whose np.unique costs ~2 ms
+// per 512-impression batch). Output contract is bit-identical to
+// np.unique(concat([0], browsed, cand), return_inverse=True):
+// unique_out[:u] ascending (always containing the pad id 0) and inverse
+// indices as ranks into it. Caller allocates every buffer.
+//
+// Returns u (distinct id count) or -1 when cap < u.
+int64_t mind_batch_dedup(const int32_t* browsed, int64_t nb,
+                         const int32_t* cand, int64_t nc,
+                         int32_t* unique_out, int64_t cap,
+                         int32_t* browsed_idx_out, int32_t* cand_idx_out) {
+  // News ids are small dense corpus indices, so a direct-address stamp
+  // table beats hashing AND yields ascending uniques for free (the scan
+  // over [0, max_id] replaces the sort). An epoch stamp avoids clearing the
+  // table between calls; buffers are thread_local so a warm call does zero
+  // heap traffic.
+  static thread_local std::vector<int32_t> stamp;  // id -> last epoch seen
+  static thread_local std::vector<int32_t> rank;   // id -> sorted rank
+  static thread_local int32_t epoch = 0;
+
+  int32_t max_id = 0;
+  for (int64_t i = 0; i < nb; ++i)
+    if (browsed[i] > max_id) max_id = browsed[i];
+  for (int64_t i = 0; i < nc; ++i)
+    if (cand[i] > max_id) max_id = cand[i];
+  if (static_cast<int64_t>(stamp.size()) <= max_id) {
+    stamp.assign(static_cast<size_t>(max_id) + 1, epoch);  // all "old"
+    rank.resize(static_cast<size_t>(max_id) + 1);
+    epoch += 1;
+  }
+  const int32_t ep = epoch++;
+
+  stamp[0] = ep;  // pad id is always present
+  for (int64_t i = 0; i < nb; ++i) stamp[browsed[i]] = ep;
+  for (int64_t i = 0; i < nc; ++i) stamp[cand[i]] = ep;
+
+  int64_t u = 0;
+  for (int32_t id = 0; id <= max_id; ++id) {
+    if (stamp[id] == ep) {
+      if (u >= cap) return -1;
+      unique_out[u] = id;
+      rank[id] = static_cast<int32_t>(u);
+      ++u;
+    }
+  }
+  for (int64_t i = u; i < cap; ++i) unique_out[i] = 0;
+  for (int64_t i = 0; i < nb; ++i) browsed_idx_out[i] = rank[browsed[i]];
+  for (int64_t i = 0; i < nc; ++i) cand_idx_out[i] = rank[cand[i]];
+  return u;
+}
+
 }  // extern "C"

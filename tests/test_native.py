@@ -83,3 +83,44 @@ def test_build_dataset_native_matches_python(fixture_dirs, cfg):
     np.testing.assert_array_equal(ds_native.dev.cand_flat, ds_py.dev.cand_flat)
     np.testing.assert_array_equal(ds_native.dev.label_flat,
                                   ds_py.dev.label_flat)
+
+
+def test_batch_dedup_bit_identical():
+    """Native runtime batcher must match np.unique(..., return_inverse=True)
+    exactly (sorted ascending uniques with pad id 0 present, inverse ranks)."""
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        nb, nc = int(rng.integers(1, 512)), int(rng.integers(1, 64))
+        hi = int(rng.integers(2, 3000))
+        browsed = rng.integers(0, hi, size=(nb,)).astype(np.int32)
+        cand = rng.integers(0, hi, size=(nc,)).astype(np.int32)
+        u, uniq, bidx, cidx = native.batch_dedup(browsed, cand)
+        ref_u, ref_inv = np.unique(
+            np.concatenate([np.zeros(1, np.int32), browsed, cand]),
+            return_inverse=True)
+        assert u == len(ref_u)
+        np.testing.assert_array_equal(uniq[:u], ref_u)
+        np.testing.assert_array_equal(uniq[u:], 0)
+        np.testing.assert_array_equal(bidx, ref_inv[1:1 + nb])
+        np.testing.assert_array_equal(cidx, ref_inv[1 + nb:])
+
+
+def test_dedup_batch_native_matches_numpy(monkeypatch):
+    """loader.dedup_batch must produce identical batches with and without
+    the native fast path."""
+    from pytorch_news_recommender_tpu.data import loader
+    rng = np.random.default_rng(3)
+    batch = {
+        "browsed_ids": rng.integers(0, 500, size=(64, 50)).astype(np.int32),
+        "candidate_ids": rng.integers(0, 500, size=(64, 6)).astype(np.int32),
+        "user_ids": rng.integers(0, 99, size=(64,)).astype(np.int32),
+    }
+    with_native = loader.dedup_batch(batch, buckets=(1024,))
+    monkeypatch.setattr(native, "available", lambda: False)
+    without = loader.dedup_batch(batch, buckets=(1024,))
+    assert sorted(with_native) == sorted(without)
+    for k in with_native:
+        np.testing.assert_array_equal(with_native[k], without[k])
