@@ -312,6 +312,26 @@ def cmd_submit(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Stand up the HTTP serving daemon on a trained checkpoint."""
+    from pytorch_news_recommender_tpu.serve import Recommender
+    from pytorch_news_recommender_tpu.server import RecommenderServer
+    from pytorch_news_recommender_tpu.train.checkpoint import load_config
+
+    cfg = load_config(args.ckpt)
+    ds = _load_dataset(args, cfg)
+    rec = Recommender.from_checkpoint(args.ckpt, ds)
+    srv = RecommenderServer(rec, host=args.host, port=args.port)
+    print(f"serving {cfg.model.name} ({ds.news.n_news} news) "
+          f"on http://{args.host}:{srv.port} — GET /healthz, "
+          f"POST /score, POST /top_k")
+    try:
+        srv.start(block=True)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def cmd_models(args) -> int:
     from pytorch_news_recommender_tpu.models import available_models
     for name in available_models():
@@ -401,6 +421,13 @@ def main(argv=None) -> int:
     p.add_argument("--split", choices=("dev", "test"), default="dev")
     p.add_argument("--max-impressions", type=int, default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve", help="HTTP serving daemon on a checkpoint")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("submit", help="write MIND leaderboard rank file")
     _add_common(p)

@@ -1,0 +1,116 @@
+"""HTTP serving daemon around :class:`serve.Recommender`.
+
+The reference has no serving story at all (its closest artifact is the
+two-tower method trio on one model, ``nrms_v0.py:278-312``); production
+deployment needs a process answering requests. This daemon is stdlib-only
+(``http.server``) so it runs anywhere the library does:
+
+* ``GET  /healthz``     -> {"status": "ok", "model": ..., "n_news": N}
+* ``POST /score``       {"history": [ids], "candidates": [ids],
+                          "user_id": 0}         -> {"scores": [...]}
+* ``POST /top_k``       {"history": [ids], "k": 10}
+                                               -> {"ids": [...], "scores": [...]}
+
+Request paths reuse the Recommender's fixed-shape jitted functions, so the
+daemon never recompiles after warm-up; JAX dispatch is thread-safe, so the
+threading server overlaps host JSON work across requests while device work
+serializes on the chip queue.
+
+Start from the CLI: ``cli serve --data <artifacts> --ckpt <dir> --port 8000``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from pytorch_news_recommender_tpu.serve import Recommender
+
+
+def _make_handler(rec: Recommender):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; the daemon logs one JSONL line per request
+        def log_message(self, fmt, *args):  # noqa: N802
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok",
+                    "model": rec.cfg.model.name,
+                    "n_news": int(rec.news_vecs.shape[0]),
+                })
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad JSON: {e}"})
+                return
+            try:
+                if self.path == "/score":
+                    scores = rec.score(
+                        req.get("history", []),
+                        req["candidates"],
+                        user_id=int(req.get("user_id", 0)),
+                    )
+                    self._reply(200, {"scores": [float(s) for s in scores]})
+                elif self.path == "/top_k":
+                    ids, scores = rec.top_k(
+                        req.get("history", []), k=int(req.get("k", 10)))
+                    self._reply(200, {
+                        "ids": [int(i) for i in ids],
+                        "scores": [float(s) for s in scores],
+                    })
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except KeyError as e:
+                self._reply(400, {"error": f"missing field: {e}"})
+            except Exception as e:  # surface scoring errors as 500s
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+class RecommenderServer:
+    """Owns the HTTP server; ``start()`` warms the request paths first so the
+    first real request never waits on XLA compilation."""
+
+    def __init__(self, rec: Recommender, host: str = "127.0.0.1",
+                 port: int = 8000):
+        self.rec = rec
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(rec))
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def warmup(self):
+        self.rec.score([1, 2], [1, 2, 3])
+        self.rec.top_k([1, 2], k=5)
+
+    def start(self, block: bool = True):
+        self.warmup()
+        if block:
+            self.httpd.serve_forever()
+        else:
+            self._thread = threading.Thread(
+                target=self.httpd.serve_forever, daemon=True)
+            self._thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -59,3 +59,47 @@ def test_score_pads_and_truncates(served):
     hist = [1, 2, 3]
     s = rec.score(hist, [1, 2, 3, 4, 5])
     assert s.shape == (5,)
+
+
+def test_http_server_roundtrip(served):
+    """The HTTP daemon answers healthz/score/top_k and matches the direct
+    Recommender API."""
+    import http.client
+    import json
+
+    from pytorch_news_recommender_tpu.server import RecommenderServer
+
+    cfg, ds, trainer, state, rec = served
+    srv = RecommenderServer(rec, port=0)  # ephemeral port
+    srv.start(block=False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+
+        conn.request("GET", "/healthz")
+        r = json.loads(conn.getresponse().read())
+        assert r["status"] == "ok" and r["model"] == cfg.model.name
+
+        hist = [1, 2, 3]
+        cands = [4, 5, 6, 7]
+        body = json.dumps({"history": hist, "candidates": cands})
+        conn.request("POST", "/score", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = json.loads(conn.getresponse().read())
+        np.testing.assert_allclose(r["scores"], rec.score(hist, cands),
+                                   rtol=1e-5)
+
+        conn.request("POST", "/top_k",
+                     body=json.dumps({"history": hist, "k": 5}))
+        r = json.loads(conn.getresponse().read())
+        ids, scores = rec.top_k(hist, k=5)
+        assert r["ids"] == [int(i) for i in ids]
+
+        # malformed request -> 400, daemon stays up
+        conn.request("POST", "/score", body="{not json")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+    finally:
+        srv.stop()
