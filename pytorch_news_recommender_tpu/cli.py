@@ -81,6 +81,8 @@ def _build_config(args, sample_size=None):
         d["description"] = args.description
     if getattr(args, "debug_nans", False):
         d["train"]["debug_nans"] = True
+    if getattr(args, "skip_nonfinite", False):
+        d["train"]["skip_nonfinite_updates"] = True
     return Config.from_dict(d)
 
 
@@ -411,6 +413,8 @@ def main(argv=None) -> int:
     p.add_argument("--description", default="")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run here")
+    p.add_argument("--skip-nonfinite", action="store_true",
+                   help="skip (not apply) updates whose loss is non-finite")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.set_defaults(fn=cmd_train)

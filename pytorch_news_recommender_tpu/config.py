@@ -156,6 +156,12 @@ class TrainConfig:
     # cudnn.deterministic pin, run_v0.py:41 — SURVEY.md §5): jit-level NaN
     # checking; XLA deterministic ops are the default on TPU.
     debug_nans: bool = False
+    # Production guard: when a step's loss is non-finite, keep the previous
+    # train state instead of applying the poisoned update (a jit-internal
+    # per-leaf select, ~0.1 ms at NRMS size). The step still counts and is
+    # reported via the ``skipped`` metric. Off by default (exact reference
+    # behavior: a NaN loss corrupts the run, train_eval.py:117-127).
+    skip_nonfinite_updates: bool = False
     save_dir: str = "save_model"
     log_dir: str = "logs"
 

@@ -214,7 +214,19 @@ class Trainer:
 
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads=grads)
-            return new_state, {"loss": loss, "acc": acc}
+            metrics = {"loss": loss, "acc": acc}
+            if self.cfg.train.skip_nonfinite_updates:
+                # keep the pre-step state when the loss is non-finite (a
+                # diverged/poisoned batch must not corrupt params or
+                # optimizer moments); per-leaf select, all on device
+                ok = jnp.isfinite(loss)
+                merged = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), new_state, state)
+                # the step counter always advances (dropout streams and
+                # eval cadence stay aligned); only params/opt roll back
+                new_state = merged.replace(step=new_state.step)
+                metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+            return new_state, metrics
 
         fn = jax.jit(
             step,

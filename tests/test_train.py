@@ -67,3 +67,45 @@ def test_early_stopping_fires(cfg, dataset):
     # stopped after exactly require_improvement eval'd steps, not 3 epochs
     n_batches = -(-len(dataset.train) // cfg2.train.batch_size)
     assert len(history) < 3 * n_batches
+
+
+def test_skip_nonfinite_updates(full_dataset):
+    """A poisoned batch (NaN loss) must not corrupt params or optimizer
+    state when skip_nonfinite_updates is on; the step counter still
+    advances."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pytorch_news_recommender_tpu.config import Config, synthetic_config
+
+    d = synthetic_config().to_dict()
+    d["train"]["batch_size"] = 16
+    d["train"]["skip_nonfinite_updates"] = True
+    trainer = Trainer(Config.from_dict(d), full_dataset)
+    state = trainer.init_state(seed=0)
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+    batch = next(train_batches(full_dataset.train, 16,
+                               np.random.default_rng(0)))
+    rng = jax.random.PRNGKey(0)
+
+    # healthy step applies normally
+    state1, m1 = trainer.run_step(state, batch, rng)
+    assert float(m1["skipped"]) == 0.0
+
+    # poison the params -> NaN loss -> update must be skipped
+    bad_params = jax.tree_util.tree_map(
+        lambda x: x.at[(0,) * x.ndim].set(jnp.nan) if x.ndim else x,
+        state1.params)
+    bad_state = state1.replace(params=bad_params)
+    # host copies BEFORE the step: the donated input buffers are consumed
+    ref = [np.asarray(x) for x in jax.tree_util.tree_leaves(bad_params)]
+    expect_step = int(state1.step) + 1
+    state2, m2 = trainer.run_step(bad_state, batch, rng)
+    assert not np.isfinite(float(m2["loss"]))
+    assert float(m2["skipped"]) == 1.0
+    # params identical to the (poisoned) pre-step state: no optimizer write
+    got = jax.tree_util.tree_leaves(state2.params)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    assert int(state2.step) == expect_step
