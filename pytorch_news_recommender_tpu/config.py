@@ -162,6 +162,15 @@ class TrainConfig:
     # reported via the ``skipped`` metric. Off by default (exact reference
     # behavior: a NaN loss corrupts the run, train_eval.py:117-127).
     skip_nonfinite_updates: bool = False
+    # Let XLA choose parameter memory layouts for the train step (AUTO
+    # layouts). The word table + Adam moments prefer a transposed layout on
+    # TPU; pinning the default row-major layout costs six 55 MB relayout
+    # copies per step (~1 ms = 3% measured on v5e). OFF by default: params
+    # then live in non-default layouts between steps, and host fetches of
+    # such arrays are unreliable through tunneled/experimental backends
+    # (observed INVALID_ARGUMENT on axon) — enable on a standard Cloud TPU
+    # runtime after checking checkpoint saves round-trip.
+    auto_layouts: bool = False
     save_dir: str = "save_model"
     log_dir: str = "logs"
 

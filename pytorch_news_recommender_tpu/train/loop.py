@@ -228,19 +228,94 @@ class Trainer:
                 metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
             return new_state, metrics
 
-        fn = jax.jit(
+        batch_shardings = self._batch_shardings(batch)
+        feat_shardings = {k: self._repl for k in self.news_feats}
+        fn = None
+        if self.cfg.train.auto_layouts:
+            fn = self._auto_layout_step(step, batch_shardings, feat_shardings)
+        if fn is None:
+            fn = jax.jit(
+                step,
+                donate_argnums=(0,),
+                in_shardings=(
+                    self._state_shardings,
+                    batch_shardings,
+                    feat_shardings,
+                    self._repl,
+                ),
+                out_shardings=(self._state_shardings, self._repl),
+            )
+        self._score_fns.setdefault("_steps", {})[key] = fn
+        return fn
+
+    def _auto_layout_step(self, step, batch_shardings, feat_shardings):
+        """Jit the step with XLA-chosen (AUTO) memory layouts.
+
+        With default layouts the word table and its Adam moments oscillate
+        between the row-major entry layout and the transposed layout the
+        scatter/update fusions prefer — six 55 MB relayout copies per step
+        (measured ~1 ms on v5e; see docs/DESIGN.md). AUTO layouts let one
+        layout flow through the whole state chain. Returns a callable with
+        the plain step signature, or None when the experimental layout API
+        is unavailable (caller falls back to default layouts)."""
+        try:
+            from jax.experimental.layout import Format, Layout
+        except ImportError:
+            return None
+        tm = jax.tree_util.tree_map
+        auto = lambda sh: Format(Layout.AUTO, sh)
+        autofn = jax.jit(
             step,
             donate_argnums=(0,),
             in_shardings=(
-                self._state_shardings,
-                self._batch_shardings(batch),
-                {k: self._repl for k in self.news_feats},
-                self._repl,
+                tm(auto, self._state_shardings),
+                tm(auto, batch_shardings),
+                tm(auto, feat_shardings),
+                auto(self._repl),
             ),
-            out_shardings=(self._state_shardings, self._repl),
+            out_shardings=(tm(auto, self._state_shardings), self._repl),
         )
-        self._score_fns.setdefault("_steps", {})[key] = fn
-        return fn
+        holder: Dict[str, Any] = {}
+
+        def coerce(tree, formats):
+            """device_put each leaf to the compiled layout; per-leaf no-op
+            (a Format equality check) in the steady state after the first
+            call, so no dispatch overhead accumulates."""
+            return tm(
+                lambda x, f: x if getattr(x, "format", None) == f
+                else jax.device_put(x, f),
+                tree, formats)
+
+        def wrapped(state, batch, feats, rng):
+            if "plain" in holder:
+                return holder["plain"](state, batch, feats, rng)
+            if "compiled" not in holder:
+                try:
+                    absify = lambda t: tm(
+                        lambda x: jax.ShapeDtypeStruct(
+                            jnp.shape(x), jnp.asarray(x).dtype), t)
+                    holder["compiled"] = autofn.lower(
+                        absify(state), absify(batch), absify(feats),
+                        absify(rng)).compile()
+                    holder["fmt"] = holder["compiled"].input_formats[0]
+                except Exception as e:  # pragma: no cover - backend-specific
+                    import sys
+                    print(f"auto-layout step unavailable ({e!r}); "
+                          "falling back to default layouts", file=sys.stderr)
+                    holder["plain"] = jax.jit(
+                        step,
+                        donate_argnums=(0,),
+                        in_shardings=(self._state_shardings, batch_shardings,
+                                      feat_shardings, self._repl),
+                        out_shardings=(self._state_shardings, self._repl),
+                    )
+                    return holder["plain"](state, batch, feats, rng)
+            sf, bf, ff, rf = holder["fmt"]
+            return holder["compiled"](
+                coerce(state, sf), coerce(batch, bf), coerce(feats, ff),
+                jax.device_put(rng, rf))
+
+        return wrapped
 
     def run_step(self, state, batch_np, rng):
         fn = self.train_step_fn(batch_np)

@@ -109,3 +109,28 @@ def test_skip_nonfinite_updates(full_dataset):
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
     assert int(state2.step) == expect_step
+
+
+def test_auto_layouts_step(full_dataset):
+    """Opt-in AUTO-layout step path: same loss trajectory as the default
+    layout path (XLA picks parameter layouts; values must be unaffected)."""
+    from pytorch_news_recommender_tpu.config import Config, synthetic_config
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+
+    losses = {}
+    for auto in (False, True):
+        d = synthetic_config().to_dict()
+        d["train"]["batch_size"] = 16
+        d["train"]["auto_layouts"] = auto
+        trainer = Trainer(Config.from_dict(d), full_dataset)
+        state = trainer.init_state(seed=0)
+        rng = jax.random.PRNGKey(0)
+        ls = []
+        for i, batch in enumerate(train_batches(
+                full_dataset.train, 16, np.random.default_rng(0))):
+            state, m = trainer.run_step(state, batch, rng)
+            ls.append(float(m["loss"]))
+            if i >= 2:
+                break
+        losses[auto] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
