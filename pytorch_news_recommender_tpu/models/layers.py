@@ -32,6 +32,41 @@ def _dtype(name: str):
     return jnp.dtype(name)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _masked_lookup(table, ids, maskf, cd):
+    """``take(table, ids).astype(cd) * mask`` with a traffic-lean backward.
+
+    Autodiff of the plain expression materializes TWO full-size f32 copies
+    of the ``[M*L, D]`` token cotangent (the convert of the astype VJP and
+    the mask multiply) before XLA's scatter pipeline even starts — ~600 MB
+    of HBM traffic per step at bench dimensions. The custom backward keeps
+    the chain in the compute dtype and hands ``(g * mask).astype(f32)``
+    straight to the scatter-add, where XLA fuses the elementwise producers
+    into the update gather.
+    """
+    out = jnp.take(table, ids, axis=0).astype(cd)
+    return out * maskf[..., None].astype(cd)
+
+
+def _masked_lookup_fwd(table, ids, maskf, cd):
+    return _masked_lookup(table, ids, maskf, cd), (table.shape, ids, maskf)
+
+
+def _masked_lookup_bwd(cd, res, g):
+    shape, ids, maskf = res
+    upd = g * maskf[..., None].astype(g.dtype)        # compute dtype
+    flat = upd.reshape(-1, shape[1])
+    dtable = jnp.zeros(shape, jnp.float32).at[ids.reshape(-1)].add(
+        flat.astype(jnp.float32))                     # convert fuses in
+    return dtable, None, None
+
+
+_masked_lookup.defvjp(_masked_lookup_fwd, _masked_lookup_bwd)
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Self-attention with fused QKV projection and output projection."""
 
@@ -108,10 +143,10 @@ class WordEmbedding(nn.Module):
         table = self.param("embedding", init, (self.n_words, self.embed_size))
         if not self.trainable:
             table = jax.lax.stop_gradient(table)
-        out = jnp.take(table, ids, axis=0).astype(_dtype(self.compute_dtype))
+        cd = _dtype(self.compute_dtype)
         if mask is not None:
-            out = out * mask[..., None].astype(out.dtype)
-        return out
+            return _masked_lookup(table, ids, mask.astype(jnp.float32), cd)
+        return jnp.take(table, ids, axis=0).astype(cd)
 
 
 class PadEmbedding(nn.Module):

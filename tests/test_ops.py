@@ -74,3 +74,31 @@ def test_dot_product_scores_masked():
     assert float(s[0, 0]) == 4.0
     assert float(s[0, 2]) <= -1e8
     assert float(s[1, 1]) <= -1e8
+
+
+def test_masked_lookup_custom_vjp_matches_autodiff():
+    """WordEmbedding's traffic-lean custom VJP must be bit-compatible with
+    autodiff of take().astype(cd) * mask."""
+    import numpy as np
+
+    from pytorch_news_recommender_tpu.models.layers import _masked_lookup
+
+    rng = np.random.default_rng(0)
+    V, D, M, L = 200, 16, 8, 5
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, V, size=(M, L)), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(M, L)), jnp.float32)
+
+    def ref(table):
+        out = jnp.take(table, ids, axis=0).astype(jnp.bfloat16)
+        return jnp.sum(
+            (out * mask[..., None].astype(out.dtype)).astype(jnp.float32) ** 2)
+
+    def new(table):
+        out = _masked_lookup(table, ids, mask, jnp.dtype(jnp.bfloat16))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    v1, g1 = jax.value_and_grad(ref)(table)
+    v2, g2 = jax.value_and_grad(new)(table)
+    assert float(abs(v1 - v2)) == 0.0
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
