@@ -164,8 +164,8 @@ class PadEmbedding(nn.Module):
     def __call__(self, ids: jax.Array) -> jax.Array:
         table = self.param("embedding", nn.initializers.normal(1.0),
                            (self.num, self.dim))
-        out = jnp.take(table, ids, axis=0).astype(_dtype(self.compute_dtype))
-        return out * (ids != 0)[..., None].astype(out.dtype)
+        return _masked_lookup(table, ids, (ids != 0).astype(jnp.float32),
+                              _dtype(self.compute_dtype))
 
 
 def _uniform_pm(scale: float):
