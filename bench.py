@@ -66,8 +66,14 @@ def main():
         ),
         train=TrainConfig(batch_size=BATCH),
     )
+    # MIND-like variable title lengths (titles average ~11.5 words against
+    # the fixed 20-slot padding — MIND paper §3; reference pads regardless,
+    # ``config.py:30``). The reference-structure baseline below processes
+    # the full padded [B, 56, 20] tensors exactly as the torch code does;
+    # our side length-buckets the deduped news (loader.LengthSplit).
     ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
-                            n_train=8 * BATCH, n_dev=8)
+                            n_train=8 * BATCH, n_dev=8,
+                            title_len=(11.5, 3.5))
     trainer = Trainer(cfg, ds)
     rng = jax.random.PRNGKey(0)
     log(f"devices: {jax.devices()}")
@@ -111,7 +117,8 @@ def main():
     # This seed's dedup widths all fit 12288 (measured; the padded-width
     # cost of a blanket 16384 bucket is ~30% step time).
     batches = list(train_batches(ds.train, BATCH, np.random.default_rng(0),
-                                 dedup=True, unique_buckets=(12288,)))
+                                 dedup=True, unique_buckets=(12288,),
+                                 length_split=trainer._length_split))
     state = trainer.init_state(seed=0)
     t0 = time.perf_counter()
 

@@ -103,6 +103,16 @@ class ModelConfig:
     gnn_layers: int = 2
     gnn_neighbors: int = 15
     dropout: float = 0.2
+    # Length-bucketed unique-news encoding: deduped batches are partitioned
+    # into a short block (every word feature fits the threshold; its arrays
+    # are truncated to the threshold on device) and a full-length block.
+    # Exact under the mask semantics — truncated columns are all-pad, and
+    # every tower derives masks from ``ids != 0`` — while the encoder and
+    # embedding-lookup cost of the short block drops with its length
+    # (MIND titles average ~11.5 words vs the fixed 20-slot padding,
+    # reference ``config.py:30``). 0 disables the split for that feature.
+    short_title_len: int = 12
+    short_abst_len: int = 0
     # numerics
     compute_dtype: str = "bfloat16"     # activations/matmul inputs
     param_dtype: str = "float32"        # parameters + accumulations

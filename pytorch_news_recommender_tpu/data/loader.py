@@ -29,8 +29,55 @@ DEFAULT_UNIQUE_BUCKETS = (1024, 2048, 3072, 4096, 6144, 8192, 12288,
                           16384, 24576, 32768)
 
 
+@dataclasses.dataclass(frozen=True)
+class LengthSplit:
+    """Host-side spec for length-bucketed unique-news encoding.
+
+    ``feat_lens`` maps a word-level feature name (``title``/``abst``) to the
+    per-news true token count (host array, indexed by news id);
+    ``thresholds`` to its short-block cutoff. A news is *short* when EVERY
+    thresholded feature fits its cutoff; the model then truncates those
+    features to the cutoff for the short block (exact — the dropped columns
+    are all-pad and the towers mask on ``ids != 0``). ``grid`` quantizes the
+    short-block width so XLA sees few static shapes."""
+
+    feat_lens: Dict[str, np.ndarray]
+    thresholds: Dict[str, int]
+    grid: int = 2048
+
+
+def _length_partition(unique_ids: np.ndarray, u: int, width: int,
+                      split: LengthSplit):
+    """Partition the ``u`` real unique ids inside a ``width``-slot buffer
+    into [short block | long block]; returns ``(buf, newpos, short_width)``.
+
+    The short block occupies ``[0, short_width)`` (real shorts first, then
+    pad slots — padding is encoded at the cheap truncated length); the long
+    block ``[short_width, width)`` holds everything full-length. ``newpos``
+    remaps old unique positions -> new positions for the inverse indices."""
+    uniq = unique_ids[:u]
+    short = np.ones(u, bool)
+    for k, thr in split.thresholds.items():
+        short &= split.feat_lens[k][uniq] <= thr
+    n_s = int(short.sum())
+    n_l = u - n_s
+    G = split.grid
+    short_width = max(0, (width - n_l) // G * G)
+    k_keep = min(n_s, short_width)
+    order = np.argsort(~short, kind="stable")  # shorts first, stable
+    buf = np.zeros(width, unique_ids.dtype)
+    buf[:k_keep] = uniq[order[:k_keep]]
+    rest = order[k_keep:]
+    buf[short_width:short_width + len(rest)] = uniq[rest]
+    newpos = np.empty(u, np.int32)
+    newpos[order[:k_keep]] = np.arange(k_keep, dtype=np.int32)
+    newpos[rest] = short_width + np.arange(len(rest), dtype=np.int32)
+    return buf, newpos, short_width
+
+
 def dedup_batch(batch: Batch,
-                buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS) -> Batch:
+                buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS,
+                length_split: Optional[LengthSplit] = None) -> Batch:
     """Rewrite a batch in deduplicated form.
 
     A training batch references ``B*(H+S)`` news slots but most are the pad
@@ -70,13 +117,26 @@ def dedup_batch(batch: Batch,
         width = int(np.ceil(u / buckets[-1])) * buckets[-1]
     if width >= n_slots:
         return batch  # dedup would not shrink the encoder workload
-    unique_ids = np.zeros(width, np.int32)
-    unique_ids[:min(u, width)] = uniq_buf[:u][:width]
+    short_width = 0
+    if length_split is not None and length_split.thresholds:
+        unique_ids, newpos, short_width = _length_partition(
+            np.asarray(uniq_buf, np.int32), u, width, length_split)
+        if short_width > 0:
+            browsed_idx = newpos[browsed_idx]
+            candidate_idx = newpos[candidate_idx]
+    if short_width == 0:
+        unique_ids = np.zeros(width, np.int32)
+        unique_ids[:min(u, width)] = uniq_buf[:u][:width]
     out = {
         "unique_ids": unique_ids,
         "browsed_idx": browsed_idx,
         "candidate_idx": candidate_idx,
     }
+    if short_width > 0:
+        # Static marker: its SHAPE carries the short-block width into the
+        # jitted model (values unused). int8 so the per-step transfer is
+        # a few KB.
+        out["short_mark"] = np.zeros(short_width, np.int8)
     # non-news keys (user_ids, ...) pass through untouched
     for k, v in batch.items():
         if k not in ("browsed_ids", "candidate_ids"):
@@ -91,6 +151,7 @@ def train_batches(
     drop_remainder: bool = True,
     dedup: bool = False,
     unique_buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS,
+    length_split: Optional[LengthSplit] = None,
 ) -> Iterator[Batch]:
     """Shuffled fixed-shape training batches.
 
@@ -112,7 +173,8 @@ def train_batches(
         }
         if data.user_ids is not None:
             batch["user_ids"] = data.user_ids[idx]
-        yield dedup_batch(batch, unique_buckets) if dedup else batch
+        yield (dedup_batch(batch, unique_buckets, length_split)
+               if dedup else batch)
 
 
 @dataclasses.dataclass

@@ -43,11 +43,19 @@ def generate(
     entities_per_news: int = 4,
     entity_dim: int = 0,
     popularity_skew: float = 1.0,
+    title_len: tuple[float, float] | None = None,
+    abst_len: tuple[float, float] | None = None,
 ) -> RecDataset:
     """``popularity_skew`` > 0 draws clicks Zipf-like (weight ~ 1/rank^a)
     within each topic pool, matching MIND's heavy-tailed click popularity —
     this is what makes batch news-deduplication (``loader.dedup_batch``)
-    representative; 0 = uniform."""
+    representative; 0 = uniform.
+
+    ``title_len``/``abst_len`` = (mean, std) draw per-news true token counts
+    from a clipped normal instead of the fixed 70% fill — MIND titles
+    average ~11.5 words against the fixed 20-slot padding (MIND paper §3 /
+    reference ``config.py:30``), which is what makes length-bucketed
+    encoding (``loader.LengthSplit``) representative."""
     rng = np.random.default_rng(seed)
     H, L_t, L_a = cfg.history_len, cfg.n_words_title, cfg.n_words_abst
     K = cfg.sample_size
@@ -57,8 +65,12 @@ def generate(
     topics[0] = 0
     words_per_topic = (vocab_size - 1) // n_topics
 
-    def draw_words(topic, length, fill_frac=0.7):
-        n_fill = max(1, int(length * fill_frac))
+    def draw_words(topic, length, fill_frac=0.7, dist=None):
+        if dist is not None:
+            mean, std = dist
+            n_fill = int(np.clip(round(rng.normal(mean, std)), 1, length))
+        else:
+            n_fill = max(1, int(length * fill_frac))
         base = 1 + topic * words_per_topic
         w = rng.integers(base, base + words_per_topic, size=n_fill)
         out = np.zeros(length, dtype=np.int32)
@@ -70,8 +82,8 @@ def generate(
     categ = np.zeros(n_news + 1, dtype=np.int32)
     subcateg = np.zeros(n_news + 1, dtype=np.int32)
     for i in range(1, n_news + 1):
-        title[i] = draw_words(topics[i], L_t)
-        abst[i] = draw_words(topics[i], L_a)
+        title[i] = draw_words(topics[i], L_t, dist=title_len)
+        abst[i] = draw_words(topics[i], L_a, dist=abst_len)
         categ[i] = 1 + topics[i] % (n_categories - 1)
         subcateg[i] = 1 + topics[i] % (n_subcategories - 1)
 

@@ -38,9 +38,21 @@ Batch = Dict[str, jax.Array]
 
 
 def gather_feats(news_feats: Batch, keys: Tuple[str, ...],
-                 ids: jax.Array) -> Batch:
-    """Gather per-news feature rows for ``ids`` with any leading shape."""
-    return {k: jnp.take(news_feats[k], ids, axis=0) for k in keys}
+                 ids: jax.Array,
+                 feat_trunc: Dict[str, int] | None = None) -> Batch:
+    """Gather per-news feature rows for ``ids`` with any leading shape.
+
+    ``feat_trunc`` truncates a word-axis feature to its first ``n`` columns
+    (length-bucketed short block: the host guaranteed the dropped columns
+    are all-pad, so the slice fuses into the gather and the result is
+    exact — see ``loader.LengthSplit``)."""
+    out = {}
+    for k in keys:
+        rows = jnp.take(news_feats[k], ids, axis=0)
+        if feat_trunc and k in feat_trunc and rows.ndim >= 2:
+            rows = rows[..., :feat_trunc[k]]
+        out[k] = rows
+    return out
 
 
 class RecModel(nn.Module):
@@ -54,6 +66,13 @@ class RecModel(nn.Module):
     # Families whose news vectors are user-independent (everyone but NPA)
     # support the cached two-tower eval/serving path.
     TWO_TOWER = True
+
+    # Families whose news tower is exact under word-axis truncation of
+    # all-pad columns (masks derived from ``ids != 0``) opt into
+    # length-bucketed unique-news encoding (``loader.LengthSplit``). GNN
+    # opts out: it expands NEIGHBOR titles whose lengths the host criterion
+    # never checked.
+    LENGTH_SPLIT_OK = True
 
     # Families that sow auxiliary losses (flax ``losses`` collection) set
     # this True; the trainer then applies with ``mutable=["losses"]``.
@@ -69,14 +88,32 @@ class RecModel(nn.Module):
         raise NotImplementedError
 
     def encode_news_ids(self, ids: jax.Array, news_feats: Batch,
-                        deterministic: bool = True) -> jax.Array:
+                        deterministic: bool = True,
+                        feat_trunc: Dict[str, int] | None = None) -> jax.Array:
         """``[...]`` int news ids -> ``[..., D]`` news vectors.
 
         Default: gather ``FEAT_KEYS`` rows on device, run the feature tower.
         Models with trainable per-news tables (NRMS-BERT) override this.
+        ``feat_trunc`` (length-bucketed short block) truncates word-axis
+        features — see :func:`gather_feats`.
         """
         return self.encode_news_feats(
-            gather_feats(news_feats, self.FEAT_KEYS, ids), deterministic)
+            gather_feats(news_feats, self.FEAT_KEYS, ids, feat_trunc),
+            deterministic)
+
+    def _feat_trunc(self) -> Dict[str, int]:
+        """Word-feature truncation lengths for the short block, from config
+        (``short_title_len``/``short_abst_len``); must agree with the host
+        criterion in ``loader.LengthSplit`` (built by
+        ``models.make_length_split``)."""
+        c = getattr(self, "cfg", None)
+        out = {}
+        for feat, attr in (("title", "short_title_len"),
+                           ("abst", "short_abst_len")):
+            n = int(getattr(c, attr, 0) or 0) if c is not None else 0
+            if n > 0 and feat in self.FEAT_KEYS:
+                out[feat] = n
+        return out
 
     # ---- user tower + scoring head ----
     def score_impression(
@@ -105,7 +142,21 @@ class RecModel(nn.Module):
         ``(browsed_ids, cand_ids, browsed_vecs, cand_vecs)``."""
         if "unique_ids" in batch:
             unique_ids = batch["unique_ids"]                       # [U]
-            uvecs = self.encode_news_ids(unique_ids, news_feats, deterministic)
+            ws = (batch["short_mark"].shape[0]
+                  if "short_mark" in batch else 0)                 # static
+            if ws > 0 and self.LENGTH_SPLIT_OK:
+                # Length-bucketed encode: the short block's word features are
+                # truncated (host-verified all-pad columns), cutting its MHSA
+                # + embedding-lookup cost by ~threshold/L.
+                v_s = self.encode_news_ids(
+                    unique_ids[:ws], news_feats, deterministic,
+                    feat_trunc=self._feat_trunc())
+                v_l = self.encode_news_ids(
+                    unique_ids[ws:], news_feats, deterministic)
+                uvecs = jnp.concatenate([v_s, v_l], axis=0)
+            else:
+                uvecs = self.encode_news_ids(unique_ids, news_feats,
+                                             deterministic)
             browsed_ids = jnp.take(unique_ids, batch["browsed_idx"], axis=0)
             cand_ids = jnp.take(unique_ids, batch["candidate_idx"], axis=0)
             # The inverse gather's backward is a scatter-add with extreme

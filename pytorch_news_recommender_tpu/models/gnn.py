@@ -106,8 +106,13 @@ class GNNRec(RecModel):
             pallas_interpret=c.pallas_interpret,
         )
 
+    # Message passing gathers NEIGHBOR titles, whose lengths the host's
+    # short/long criterion never checked — truncation would be lossy.
+    LENGTH_SPLIT_OK = False
+
     def encode_news_ids(self, ids: jax.Array, news_feats: Batch,
-                        deterministic: bool = True) -> jax.Array:
+                        deterministic: bool = True,
+                        feat_trunc=None) -> jax.Array:
         titles = news_feats["title"]
         neighbors = news_feats["neighbors"]
 

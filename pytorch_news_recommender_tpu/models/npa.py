@@ -69,6 +69,7 @@ class NPA(RecModel):
 
     FEAT_KEYS = ("title",)
     TWO_TOWER = False  # news vectors are user-conditioned
+    LENGTH_SPLIT_OK = False  # custom dedup path keeps full token maps
 
     def setup(self):
         c = self.cfg

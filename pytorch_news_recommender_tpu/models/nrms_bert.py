@@ -74,9 +74,13 @@ class NRMSBert(RecModel):
             pallas_interpret=c.pallas_interpret,
         )
 
-    # The tower owns a trainable per-news table, so it encodes by ID.
+    # The tower owns a trainable per-news table, so it encodes by ID (no
+    # word axis -> nothing to length-bucket; feat_trunc is ignored).
+    LENGTH_SPLIT_OK = False
+
     def encode_news_ids(self, ids: jax.Array, news_feats: Batch,
-                        deterministic: bool = True) -> jax.Array:
+                        deterministic: bool = True,
+                        feat_trunc=None) -> jax.Array:
         vec = self.bert_embedding(ids, news_feats["bert"])
         vec = self.news_dense(vec.astype(jnp.dtype(self.cfg.compute_dtype)))
         return self.news_dropout(vec, deterministic=deterministic)

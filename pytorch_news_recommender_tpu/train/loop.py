@@ -99,10 +99,26 @@ class Trainer:
         self._train_step = None
         self._score_fns: Dict[Any, Callable] = {}
         self._state_shardings = None
+        self._length_split = self._make_length_split()
         # Build the optimizer ONCE: optax transforms are pytree *metadata*
         # of TrainState, so two init_state() calls with distinct tx objects
         # would produce states incompatible with already-jitted step fns.
         self._tx = make_optimizer(cfg)
+
+    def _make_length_split(self):
+        """Host spec for length-bucketed unique-news encoding (must mirror
+        the model's ``_feat_trunc``); None when the family opts out or no
+        threshold is configured."""
+        from pytorch_news_recommender_tpu.data.loader import LengthSplit
+        if not getattr(self.model, "LENGTH_SPLIT_OK", False):
+            return None
+        thr = self.model._feat_trunc()
+        if not thr:
+            return None
+        news = self.dataset.news
+        feat_lens = {k: (getattr(news, k) != 0).sum(axis=1).astype(np.int32)
+                     for k in thr}
+        return LengthSplit(feat_lens=feat_lens, thresholds=thr)
 
     # ---- state ----
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -487,7 +503,8 @@ class Trainer:
         for epoch in range(epochs):
             host_iter = train_batches(self.dataset.train,
                                       cfg.train.batch_size, shuffle_rng,
-                                      dedup=cfg.train.dedup_batches)
+                                      dedup=cfg.train.dedup_batches,
+                                      length_split=self._length_split)
             for batch in device_prefetch(host_iter, self._batch_shardings):
                 fn = self.train_step_fn(batch)
                 state, metrics = fn(state, batch, self.news_feats, rng)
