@@ -76,18 +76,21 @@ def main():
         train=TrainConfig(batch_size=B),
     )
     ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
-                            n_train=8 * B, n_dev=8)
+                            n_train=8 * B, n_dev=8, title_len=(11.5, 3.5))
     trainer = Trainer(cfg, ds)
     rng = jax.random.PRNGKey(0)
     log(f"devices: {jax.devices()}")
 
     batches = list(train_batches(ds.train, B, np.random.default_rng(0),
-                                 dedup=True))
+                                 dedup=True,
+                                 length_split=trainer._length_split))
     uw = [b["unique_ids"].shape[0] if "unique_ids" in b
           else b["browsed_ids"].size + b["candidate_ids"].size
           for b in batches]
+    sw = sorted({b.get("short_mark", np.zeros(0)).shape[0] for b in batches})
     slots = B * (cfg.data.history_len + cfg.data.group_size)
-    log(f"slots/batch: {slots}, dedup widths: {sorted(set(uw))}")
+    log(f"slots/batch: {slots}, dedup widths: {sorted(set(uw))}, "
+        f"short widths: {sw}")
 
     state = trainer.init_state(seed=0)
 

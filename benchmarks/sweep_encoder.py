@@ -4,8 +4,11 @@ Finds the (pack_news, block_news) sweet spot at MIND scale. Slope-method
 timing (see .claude/skills/verify/SKILL.md).
 """
 
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +19,13 @@ from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
     fused_news_encoder,
 )
 
-M, L, D, H, Q = 28672, 20, 300, 10, 200
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--m", type=int, default=28672)
+_ap.add_argument("--l", type=int, default=20)
+_args = _ap.parse_args()
+M, L, D, H, Q = _args.m, _args.l, 300, 10, 200
 
 
 def main():

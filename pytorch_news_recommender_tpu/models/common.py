@@ -105,7 +105,7 @@ class RecModel(nn.Module):
         """Word-feature truncation lengths for the short block, from config
         (``short_title_len``/``short_abst_len``); must agree with the host
         criterion in ``loader.LengthSplit`` (built by
-        ``models.make_length_split``)."""
+        ``Trainer._make_length_split``)."""
         c = getattr(self, "cfg", None)
         out = {}
         for feat, attr in (("title", "short_title_len"),

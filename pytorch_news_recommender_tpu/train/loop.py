@@ -355,23 +355,57 @@ class Trainer:
 
         This is the two-tower serving/eval path: the reference re-encodes up
         to 300 candidates per impression at eval (``train_eval.py:240-242``);
-        here every news is encoded exactly once per evaluation."""
+        here every news is encoded exactly once per evaluation. With a
+        :class:`LengthSplit` active, the corpus is encoded in length order —
+        chunks made entirely of short news run at the truncated length
+        (exact, see ``loader.LengthSplit``) — and scattered back to id order
+        with one gather."""
         chunk = self.cfg.train.eval_encode_chunk
         if "encode_chunk" not in self._score_fns:
             def enc(params, ids, news_feats):
                 return self.model.apply(
                     {"params": params}, ids, news_feats, True,
                     method="encode_news_ids")
+
+            trunc = (self.model._feat_trunc()
+                     if self._length_split is not None else {})
+
+            def enc_short(params, ids, news_feats):
+                return self.model.apply(
+                    {"params": params}, ids, news_feats, True, trunc,
+                    method="encode_news_ids")
+
             self._score_fns["encode_chunk"] = jax.jit(enc)
+            self._score_fns["encode_chunk_short"] = jax.jit(enc_short)
         enc = self._score_fns["encode_chunk"]
         n = self.dataset.news.n_news
+        split = self._length_split
+        if split is not None:
+            if "eval_order" not in self._score_fns:
+                short = np.ones(n, bool)
+                for k, thr in split.thresholds.items():
+                    short &= split.feat_lens[k][:n] <= thr
+                order = np.argsort(~short, kind="stable").astype(np.int32)
+                inv = np.empty(n, np.int32)
+                inv[order] = np.arange(n, dtype=np.int32)
+                # chunks fully inside the short prefix use the short encoder
+                self._score_fns["eval_order"] = (
+                    jnp.asarray(order), jnp.asarray(inv), int(short.sum()))
+            order, inv, n_short = self._score_fns["eval_order"]
+        else:
+            order, inv, n_short = None, None, 0
         outs = []
         for s in range(0, n, chunk):
-            ids = jnp.arange(s, min(s + chunk, n), dtype=jnp.int32)
+            e = min(s + chunk, n)
+            ids = (order[s:e] if order is not None
+                   else jnp.arange(s, e, dtype=jnp.int32))
             if ids.shape[0] < chunk:
                 ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
-            outs.append(enc(params, ids, self.news_feats))
-        return jnp.concatenate(outs, axis=0)[:n]
+            fn = (self._score_fns["encode_chunk_short"]
+                  if s + chunk <= n_short else enc)
+            outs.append(fn(params, ids, self.news_feats))
+        vecs = jnp.concatenate(outs, axis=0)[:n]
+        return jnp.take(vecs, inv, axis=0) if inv is not None else vecs
 
     def score_from_vecs_fn(self) -> Callable:
         if "score_vecs" not in self._score_fns:

@@ -154,6 +154,20 @@ def test_split_grads_match_direct(cfg, varlen_dataset):
         g_direct, g_split)
 
 
+def test_corpus_encode_matches_unordered(cfg, varlen_dataset):
+    """Length-ordered two-tower corpus encoding returns the same [N, D]
+    table as the plain id-order path."""
+    trainer = Trainer(cfg, varlen_dataset)
+    assert trainer._length_split is not None
+    state = trainer.init_state(seed=0)
+    v_split = np.asarray(trainer.compute_news_vectors(state.params))
+
+    trainer2 = Trainer(cfg, varlen_dataset)
+    trainer2._length_split = None
+    v_plain = np.asarray(trainer2.compute_news_vectors(state.params))
+    np.testing.assert_allclose(v_split, v_plain, rtol=2e-5, atol=2e-5)
+
+
 def test_trainer_enables_split_and_learns(cfg, varlen_dataset):
     """End-to-end: the Trainer builds the LengthSplit itself (tiny grid so
     it engages at test widths) and still learns the planted structure."""
