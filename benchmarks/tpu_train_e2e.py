@@ -55,7 +55,8 @@ def main():
                           auc_checkpoint_floor=0.56),
     )
     ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
-                            n_train=args.n_train, n_dev=args.n_dev)
+                            n_train=args.n_train, n_dev=args.n_dev,
+                            title_len=(11.5, 3.5))
     trainer = Trainer(cfg, ds)
     state = trainer.init_state(seed=0)
 
