@@ -322,7 +322,8 @@ def cmd_serve(args) -> int:
 
     cfg = load_config(args.ckpt)
     ds = _load_dataset(args, cfg)
-    rec = Recommender.from_checkpoint(args.ckpt, ds)
+    rec = Recommender.from_checkpoint(args.ckpt, ds,
+                                      corpus_cache=args.corpus_cache)
     srv = RecommenderServer(rec, host=args.host, port=args.port)
     print(f"serving {cfg.model.name} ({ds.news.n_news} news) "
           f"on http://{args.host}:{srv.port} — GET /healthz, "
@@ -431,6 +432,11 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--corpus-cache", choices=("native", "int8"),
+                   default="native",
+                   help="int8 = per-row symmetrically quantized corpus "
+                        "vector table (4x smaller than f32, ranking "
+                        "preserved)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("submit", help="write MIND leaderboard rank file")

@@ -17,6 +17,16 @@ through the same object:
 All request paths are fixed-shape jitted functions (history padded to
 ``history_len``, candidate lists padded to a small set of widths), so
 serving never recompiles.
+
+``corpus_cache="int8"`` stores the resident vector table symmetrically
+quantized per row (int8 values + one f32 scale per news): 4x smaller than
+f32 — 10M news x 300d fits in ~3 GB HBM instead of 12 — and corpus-wide
+retrieval streams a quarter of the bytes (the bandwidth win matters at
+multi-million-news corpora; at 50k news request latency is RTT-dominated
+either way). Dequantization happens inside the jitted request paths (a
+per-row multiply XLA fuses into the gather/matmul); ranking agreement with
+the float cache is recall@10 = 1.00 on the synthetic corpus
+(``tests/test_serve.py``, ``benchmarks/serve_bench.py``).
 """
 
 from __future__ import annotations
@@ -42,6 +52,7 @@ class Recommender:
         dataset: RecDataset,
         params,
         candidate_widths: Sequence[int] = (8, 16, 32, 64, 300),
+        corpus_cache: str = "native",
     ):
         self.cfg = cfg
         self.model_cfg = cfg.model.with_artifact_meta(dataset.meta)
@@ -70,9 +81,37 @@ class Recommender:
             if ids.shape[0] < chunk:
                 ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
             outs.append(enc(params, ids))
-        self.news_vecs = jnp.concatenate(outs, axis=0)[:n]
+        vecs = jnp.concatenate(outs, axis=0)[:n]
 
+        if corpus_cache not in ("native", "int8"):
+            raise ValueError(f"corpus_cache must be native|int8, "
+                             f"got {corpus_cache!r}")
+        self.corpus_cache = corpus_cache
+        if corpus_cache == "int8":
+            # Symmetric per-row quantization: q = round(v / s), s = amax/127.
+            # One jitted pass; the float table never persists.
+            @jax.jit
+            def quantize(v):
+                v = v.astype(jnp.float32)
+                s = jnp.max(jnp.abs(v), axis=1, keepdims=True) / 127.0
+                s = jnp.maximum(s, 1e-12)  # all-zero pad row
+                q = jnp.clip(jnp.round(v / s), -127, 127).astype(jnp.int8)
+                return q, s
+            self.news_q, self.news_scale = quantize(vecs)
+            self.news_vecs = None
+        else:
+            self.news_vecs = vecs
+
+        self._cd = jnp.dtype(self.model_cfg.compute_dtype)
         self._topk_fn = jax.jit(self._topk_impl, static_argnums=(2,))
+
+    def _lookup(self, ids: jax.Array) -> jax.Array:
+        """Cached corpus rows for ``ids`` (dequantized when int8)."""
+        if self.corpus_cache == "int8":
+            q = jnp.take(self.news_q, ids, axis=0).astype(jnp.float32)
+            s = jnp.take(self.news_scale, ids, axis=0)
+            return (q * s).astype(self._cd)
+        return jnp.take(self.news_vecs, ids, axis=0)
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir, dataset: RecDataset,
@@ -108,10 +147,13 @@ class Recommender:
         """Scores for an explicit candidate list (any family)."""
         w = self._width_for(len(candidates))
         if w not in self._score_fns:
-            self._score_fns[w] = jax.jit(
-                lambda p, batch: self.model.apply(
-                    {"params": p}, batch, self.news_vecs, self.news_feats,
-                    method="score_from_vecs"))
+            def score_w(p, batch):
+                b, c = batch["browsed_ids"], batch["candidate_ids"]
+                return self.model.apply(
+                    {"params": p}, batch, b, c,
+                    self._lookup(b), self._lookup(c), self.news_feats, True,
+                    method="score_impression")
+            self._score_fns[w] = jax.jit(score_w)
         cand = np.zeros(w, np.int32)
         cand[:len(candidates)] = np.asarray(candidates[:w], np.int32)
         batch = {
@@ -125,7 +167,7 @@ class Recommender:
     def _topk_impl(self, params, batch, k: int):
         # corpus-wide dot-product retrieval: user vector against every news
         b_ids = batch["browsed_ids"]
-        browsed_vecs = jnp.take(self.news_vecs, b_ids, axis=0)
+        browsed_vecs = self._lookup(b_ids)
         # reuse the family's head on a length-1 candidate list to extract
         # the user vector is model-specific; dot-product families share the
         # user_encoder attribute.
@@ -133,8 +175,15 @@ class Recommender:
         user_vec = self.model.apply(
             {"params": params}, browsed_vecs, hist_mask,
             method=lambda m, v, mk: m.user_encoder(v, mk))
-        scores = jnp.einsum("bd,nd->bn", user_vec.astype(jnp.float32),
-                            self.news_vecs.astype(jnp.float32))
+        if self.corpus_cache == "int8":
+            # int8 rows stream from HBM (the convert fuses into the matmul);
+            # per-row dequant folds into the score afterwards.
+            raw = jnp.einsum("bd,nd->bn", user_vec.astype(jnp.float32),
+                             self.news_q.astype(jnp.float32))
+            scores = raw * self.news_scale[:, 0][None, :]
+        else:
+            scores = jnp.einsum("bd,nd->bn", user_vec.astype(jnp.float32),
+                                self.news_vecs.astype(jnp.float32))
         scores = scores.at[:, 0].set(-jnp.inf)  # pad news
         top_scores, top_ids = jax.lax.top_k(scores, k)
         return top_ids, top_scores

@@ -103,3 +103,31 @@ def test_http_server_roundtrip(served):
         assert json.loads(conn.getresponse().read())["status"] == "ok"
     finally:
         srv.stop()
+
+
+def test_int8_corpus_cache_matches_native(served):
+    """Per-row int8 quantization of the corpus table must preserve scores to
+    ~1% and corpus-wide ranking almost exactly."""
+    cfg, ds, trainer, state, rec = served
+    rec8 = Recommender(cfg, ds, state.params, corpus_cache="int8")
+    assert rec8.news_vecs is None and rec8.news_q.dtype == np.int8
+
+    hist = [int(x) for x in ds.dev.browsed_ids[0] if x]
+    cands = list(range(1, 21))
+    s_f = rec.score(hist, cands)
+    s_q = rec8.score(hist, cands)
+    scale = np.abs(s_f).max() + 1e-9
+    np.testing.assert_allclose(s_q / scale, s_f / scale, atol=0.02)
+
+    ids_f, _ = rec.top_k(hist, k=20)
+    ids_q, sc_q = rec8.top_k(hist, k=20)
+    # recall@20 of the quantized cache vs the float cache
+    recall = len(set(map(int, ids_f)) & set(map(int, ids_q))) / 20
+    assert recall >= 0.9, (recall, ids_f, ids_q)
+    assert np.all(np.diff(sc_q) <= 1e-6)
+
+
+def test_int8_cache_rejects_bad_mode(served):
+    cfg, ds, trainer, state, rec = served
+    with pytest.raises(ValueError):
+        Recommender(cfg, ds, state.params, corpus_cache="int4")
