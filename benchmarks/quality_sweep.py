@@ -41,7 +41,8 @@ def main():
     base = synthetic_config()
     ds = synthetic.generate(base.data, seed=7, n_train=2048, n_dev=192,
                             bert_dim=64, n_users=100, n_neighbors=8,
-                            n_entities=32, entity_dim=16)
+                            n_entities=32, entity_dim=16,
+                            title_len=(11.5, 3.5))
 
     families = args.families or M.available_models()
     results = {}

@@ -75,3 +75,28 @@ def test_data_parallel_matches_single_device(cfg, dataset):
     for a, b in zip(l8, l1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_step_with_length_split(cfg, dataset):
+    """A deduplicated + length-partitioned batch must run (and stay finite)
+    through the fully sharded train step on the dp x mp mesh."""
+    import dataclasses
+
+    from pytorch_news_recommender_tpu.data import synthetic
+    from pytorch_news_recommender_tpu.data.loader import (
+        LengthSplit, train_batches)
+
+    ds = synthetic.generate(cfg.data, seed=11, n_train=128, n_dev=8,
+                            title_len=(11.5, 3.5))
+    mesh = make_mesh(MeshConfig(model_parallel_size=2))
+    trainer = Trainer(cfg, ds, mesh=mesh)
+    assert trainer._length_split is not None
+    trainer._length_split = dataclasses.replace(trainer._length_split,
+                                                grid=64)
+    state = trainer.init_state(seed=0)
+    batch = next(train_batches(ds.train, 32, np.random.default_rng(0),
+                               dedup=True,
+                               length_split=trainer._length_split))
+    assert "short_mark" in batch
+    state, m = trainer.run_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
