@@ -84,13 +84,15 @@ def main():
             train=TrainConfig(batch_size=B, dedup_batches=True),
         )
         ds = synthetic.generate(cfg.data, seed=0, n_news=20000,
-                                vocab_size=45800, n_train=4 * B, n_dev=8)
+                                vocab_size=45800, n_train=4 * B, n_dev=8,
+                                title_len=(11.5, 3.5))
         mesh = make_mesh(cfg.mesh, devices=jax.devices()[:n])
         trainer = Trainer(cfg, ds, mesh=mesh)
         state = trainer.init_state(seed=0)
         rng = jax.random.PRNGKey(0)
         batches = list(train_batches(ds.train, B, np.random.default_rng(0),
-                                     dedup=True))
+                                     dedup=True,
+                                     length_split=trainer._length_split))
 
         def step(state, i):
             s, _ = trainer.run_step(state, batches[i % len(batches)], rng)

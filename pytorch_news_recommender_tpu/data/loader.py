@@ -45,6 +45,15 @@ class LengthSplit:
     thresholds: Dict[str, int]
     grid: int = 2048
 
+    def is_short(self, ids: np.ndarray) -> np.ndarray:
+        """Boolean mask: every thresholded feature of ``ids`` fits its
+        cutoff. The single source of the short/long criterion — the model's
+        ``_feat_trunc`` truncation lengths must match ``thresholds``."""
+        short = np.ones(np.shape(ids), bool)
+        for k, thr in self.thresholds.items():
+            short &= self.feat_lens[k][ids] <= thr
+        return short
+
 
 def _length_partition(unique_ids: np.ndarray, u: int, width: int,
                       split: LengthSplit):
@@ -56,9 +65,7 @@ def _length_partition(unique_ids: np.ndarray, u: int, width: int,
     block ``[short_width, width)`` holds everything full-length. ``newpos``
     remaps old unique positions -> new positions for the inverse indices."""
     uniq = unique_ids[:u]
-    short = np.ones(u, bool)
-    for k, thr in split.thresholds.items():
-        short &= split.feat_lens[k][uniq] <= thr
+    short = split.is_short(uniq)
     n_s = int(short.sum())
     n_l = u - n_s
     G = split.grid
@@ -84,10 +91,12 @@ def dedup_batch(batch: Batch,
     news or repeats (popular news, overlapping histories — MIND click
     popularity is heavily Zipfian). The reference encodes every slot
     (``nrms_v1.py:263-268``); here the model encodes each distinct news once:
-    the batch carries the sorted ``unique_ids`` (slot 0 is always the pad
-    news 0) plus inverse indices, and the encoder output is gathered back.
-    Unique count is padded up to a bucket size so XLA sees a few static
-    shapes.
+    the batch carries the ``unique_ids`` buffer (slot 0 is always the pad
+    news 0; ascending when no ``length_split`` is given, otherwise
+    partitioned shorts-first by ``_length_partition`` — do NOT rely on
+    sortedness) plus inverse indices, and the encoder output is gathered
+    back. Unique count is padded up to a bucket size so XLA sees a few
+    static shapes.
 
     When the bucketed unique width wouldn't actually reduce encoder work
     (uniform random ids, tiny batches), the batch is returned in DIRECT form

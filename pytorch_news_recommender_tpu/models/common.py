@@ -144,7 +144,14 @@ class RecModel(nn.Module):
             unique_ids = batch["unique_ids"]                       # [U]
             ws = (batch["short_mark"].shape[0]
                   if "short_mark" in batch else 0)                 # static
-            if ws > 0 and self.LENGTH_SPLIT_OK:
+            if ws >= unique_ids.shape[0] and self.LENGTH_SPLIT_OK:
+                # Everything is short (possible only when the long block is
+                # empty): one truncated encode — a zero-width long slice
+                # would hand the Pallas kernel an M=0 grid.
+                uvecs = self.encode_news_ids(
+                    unique_ids, news_feats, deterministic,
+                    feat_trunc=self._feat_trunc())
+            elif ws > 0 and self.LENGTH_SPLIT_OK:
                 # Length-bucketed encode: the short block's word features are
                 # truncated (host-verified all-pad columns), cutting its MHSA
                 # + embedding-lookup cost by ~threshold/L.

@@ -103,6 +103,7 @@ class Recommender:
             self.news_vecs = vecs
 
         self._cd = jnp.dtype(self.model_cfg.compute_dtype)
+        self.n_news = int(n)
         self._topk_fn = jax.jit(self._topk_impl, static_argnums=(2,))
 
     def _lookup(self, ids: jax.Array) -> jax.Array:
@@ -147,6 +148,8 @@ class Recommender:
         """Scores for an explicit candidate list (any family)."""
         w = self._width_for(len(candidates))
         if w not in self._score_fns:
+            # Mirrors RecModel.score_from_vecs (models/common.py) with the
+            # cache-mode lookup swapped in; keep the two in sync.
             def score_w(p, batch):
                 b, c = batch["browsed_ids"], batch["candidate_ids"]
                 return self.model.apply(

@@ -48,7 +48,8 @@ def _make_handler(rec: Recommender):
                 self._reply(200, {
                     "status": "ok",
                     "model": rec.cfg.model.name,
-                    "n_news": int(rec.news_vecs.shape[0]),
+                    "n_news": rec.n_news,
+                    "corpus_cache": rec.corpus_cache,
                 })
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})

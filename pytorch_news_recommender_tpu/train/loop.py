@@ -291,7 +291,7 @@ class Trainer:
             ),
             out_shardings=(tm(auto, self._state_shardings), self._repl),
         )
-        holder: Dict[str, Any] = {}
+        holder: Dict[str, Any] = {"compiled": {}, "fmt": {}}
 
         def coerce(tree, formats):
             """device_put each leaf to the compiled layout; per-leaf no-op
@@ -305,15 +305,21 @@ class Trainer:
         def wrapped(state, batch, feats, rng):
             if "plain" in holder:
                 return holder["plain"](state, batch, feats, rng)
-            if "compiled" not in holder:
+            # One compiled executable PER batch-shape variant: dedup widths
+            # and length-split short widths both vary across batches with
+            # the same key set, and a fixed executable would reject them.
+            skey = tuple(sorted((k, tuple(jnp.shape(v)))
+                                for k, v in batch.items()))
+            if skey not in holder["compiled"]:
                 try:
                     absify = lambda t: tm(
                         lambda x: jax.ShapeDtypeStruct(
                             jnp.shape(x), jnp.asarray(x).dtype), t)
-                    holder["compiled"] = autofn.lower(
+                    compiled = autofn.lower(
                         absify(state), absify(batch), absify(feats),
                         absify(rng)).compile()
-                    holder["fmt"] = holder["compiled"].input_formats[0]
+                    holder["compiled"][skey] = compiled
+                    holder["fmt"][skey] = compiled.input_formats[0]
                 except Exception as e:  # pragma: no cover - backend-specific
                     import sys
                     print(f"auto-layout step unavailable ({e!r}); "
@@ -326,8 +332,8 @@ class Trainer:
                         out_shardings=(self._state_shardings, self._repl),
                     )
                     return holder["plain"](state, batch, feats, rng)
-            sf, bf, ff, rf = holder["fmt"]
-            return holder["compiled"](
+            sf, bf, ff, rf = holder["fmt"][skey]
+            return holder["compiled"][skey](
                 coerce(state, sf), coerce(batch, bf), coerce(feats, ff),
                 jax.device_put(rng, rf))
 
@@ -382,9 +388,7 @@ class Trainer:
         split = self._length_split
         if split is not None:
             if "eval_order" not in self._score_fns:
-                short = np.ones(n, bool)
-                for k, thr in split.thresholds.items():
-                    short &= split.feat_lens[k][:n] <= thr
+                short = split.is_short(np.arange(n))
                 order = np.argsort(~short, kind="stable").astype(np.int32)
                 inv = np.empty(n, np.int32)
                 inv[order] = np.arange(n, dtype=np.int32)

@@ -178,3 +178,55 @@ def test_trainer_enables_split_and_learns(cfg, varlen_dataset):
     state, _ = trainer.fit(num_epochs=6)
     m = trainer.evaluate(state)
     assert m["auc"] > 0.8, m
+
+
+def test_all_short_batch(cfg, varlen_dataset):
+    """Threshold above the max title length: every news is short, the long
+    block is empty (short_width == width) and the model must encode the
+    whole buffer truncated — without handing the kernel a zero-width
+    slice."""
+    model_cfg = dataclasses.replace(
+        cfg.model.with_artifact_meta(varlen_dataset.meta),
+        name="nrms", short_title_len=cfg.data.n_words_title)
+    model = M.build_model(model_cfg)
+    news_feats = {k: jnp.asarray(v)
+                  for k, v in varlen_dataset.news.as_dict().items()}
+    batch_np = _batch(varlen_dataset, 32, seed=4)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, batch, news_feats,
+                        deterministic=True)["params"]
+    s_direct = model.apply({"params": params}, batch, news_feats,
+                           deterministic=True)
+
+    split = _split(varlen_dataset, thr=cfg.data.n_words_title, grid=64)
+    dd_np = dedup_batch(batch_np, length_split=split)
+    assert "short_mark" in dd_np
+    assert dd_np["short_mark"].shape[0] == dd_np["unique_ids"].shape[0]
+    dd = {k: jnp.asarray(v) for k, v in dd_np.items()}
+    s_split = model.apply({"params": params}, dd, news_feats,
+                          deterministic=True)
+    np.testing.assert_allclose(np.asarray(s_direct), np.asarray(s_split),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_auto_layouts_handles_shape_variants(cfg, varlen_dataset):
+    """auto_layouts compiles per batch-shape variant: two batches with
+    different dedup/short widths must both run (or cleanly fall back)."""
+    d = cfg.to_dict()
+    d["train"]["auto_layouts"] = True
+    from pytorch_news_recommender_tpu.config import Config
+    trainer = Trainer(Config.from_dict(d), varlen_dataset)
+    trainer._length_split = dataclasses.replace(trainer._length_split,
+                                                grid=64)
+    state = trainer.init_state(seed=0)
+    rng = jax.random.PRNGKey(0)
+    b1 = dedup_batch(_batch(varlen_dataset, 32, seed=5),
+                     length_split=trainer._length_split)
+    b2 = dedup_batch(_batch(varlen_dataset, 48, seed=6),
+                     length_split=trainer._length_split)
+    assert ({k: v.shape for k, v in b1.items()}
+            != {k: v.shape for k, v in b2.items()})
+    state, m1 = trainer.run_step(state, b1, rng)
+    state, m2 = trainer.run_step(state, b2, rng)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))

@@ -119,15 +119,39 @@ def test_int8_corpus_cache_matches_native(served):
     scale = np.abs(s_f).max() + 1e-9
     np.testing.assert_allclose(s_q / scale, s_f / scale, atol=0.02)
 
-    ids_f, _ = rec.top_k(hist, k=20)
-    ids_q, sc_q = rec8.top_k(hist, k=20)
-    # recall@20 of the quantized cache vs the float cache
-    recall = len(set(map(int, ids_f)) & set(map(int, ids_q))) / 20
-    assert recall >= 0.9, (recall, ids_f, ids_q)
-    assert np.all(np.diff(sc_q) <= 1e-6)
+    for k in (10, 20):
+        ids_f, _ = rec.top_k(hist, k=k)
+        ids_q, sc_q = rec8.top_k(hist, k=k)
+        # recall@k of the quantized cache vs the float cache
+        recall = len(set(map(int, ids_f)) & set(map(int, ids_q))) / k
+        assert recall >= 0.9, (k, recall, ids_f, ids_q)
+        assert np.all(np.diff(sc_q) <= 1e-6)
 
 
 def test_int8_cache_rejects_bad_mode(served):
     cfg, ds, trainer, state, rec = served
     with pytest.raises(ValueError):
         Recommender(cfg, ds, state.params, corpus_cache="int4")
+
+
+def test_http_healthz_with_int8_cache(served):
+    """GET /healthz must work when the corpus cache is quantized (the float
+    table is None in int8 mode)."""
+    import http.client
+    import json
+
+    from pytorch_news_recommender_tpu.server import RecommenderServer
+
+    cfg, ds, trainer, state, rec = served
+    rec8 = Recommender(cfg, ds, state.params, corpus_cache="int8")
+    srv = RecommenderServer(rec8, port=0)
+    srv.start(block=False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request("GET", "/healthz")
+        r = json.loads(conn.getresponse().read())
+        assert r["status"] == "ok"
+        assert r["n_news"] == ds.news.n_news
+        assert r["corpus_cache"] == "int8"
+    finally:
+        srv.stop()
