@@ -147,6 +147,16 @@ class TrainConfig:
     warm_up_steps: int = 500
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0         # 0 = off
+    # Optimizer family: "adam" (reference default, train_eval.py:48) or
+    # "adafactor" (factored second moments — the memory-lean choice when
+    # the word/news/entity tables dominate the train state at pod scale).
+    # weight_decay > 0 upgrades adam to adamw.
+    optimizer: str = "adam"
+    # Accumulate gradients over N micro-batches before applying the update
+    # (optax.MultiSteps): effective batch = N * batch_size without the HBM
+    # cost of a bigger activation footprint. 1 = off. ``TrainState.step``
+    # counts micro-steps; eval cadence is unchanged.
+    grad_accum_steps: int = 1
     seed: int = 422
     # Encode each distinct news in a batch once (most history slots are pad
     # or repeated news) instead of per slot like the reference.

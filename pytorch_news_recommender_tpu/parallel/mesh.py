@@ -65,6 +65,10 @@ def param_shardings(
     tiny test vocabularies from tripping uneven-shard errors)."""
 
     def spec_fits(spec: P, shape) -> bool:
+        if len(spec) > len(shape):
+            # e.g. adafactor's factored v_row/v_col state for a rule-matched
+            # 2-D table is rank-1 — replicate rather than over-rank shard
+            return False
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue

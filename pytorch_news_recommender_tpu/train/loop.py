@@ -58,11 +58,22 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     txs = []
     if tc.grad_clip_norm > 0:
         txs.append(optax.clip_by_global_norm(tc.grad_clip_norm))
-    if tc.weight_decay > 0:
-        txs.append(optax.adamw(schedule, weight_decay=tc.weight_decay))
+    if tc.optimizer == "adafactor":
+        # Factored second moments: the memory-lean option when embedding
+        # tables dominate the train state (extension; reference is Adam).
+        txs.append(optax.adafactor(schedule))
+    elif tc.optimizer == "adam":
+        if tc.weight_decay > 0:
+            txs.append(optax.adamw(schedule, weight_decay=tc.weight_decay))
+        else:
+            txs.append(optax.adam(schedule))
     else:
-        txs.append(optax.adam(schedule))
-    return optax.chain(*txs)
+        raise ValueError(f"unknown optimizer {tc.optimizer!r} "
+                         "(expected adam|adafactor)")
+    tx = optax.chain(*txs)
+    if tc.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tc.grad_accum_steps)
+    return tx
 
 
 def softmax_ce_loss(scores: jax.Array) -> jax.Array:

@@ -134,3 +134,69 @@ def test_auto_layouts_step(full_dataset):
                 break
         losses[auto] = ls
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
+
+
+def test_adafactor_learns(cfg, dataset):
+    """Adafactor (memory-lean factored moments) trains to planted-structure
+    AUC like Adam."""
+    d = cfg.to_dict()
+    d["train"]["optimizer"] = "adafactor"
+    d["train"]["learning_rate"] = 3e-3
+    from pytorch_news_recommender_tpu.config import Config
+    trainer = Trainer(Config.from_dict(d), dataset)
+    state, _ = trainer.fit(num_epochs=6)
+    m = trainer.evaluate(state)
+    assert m["auc"] > 0.75, m
+
+
+def test_grad_accumulation_matches_big_batch():
+    """2 micro-steps at batch B with grad_accum_steps=2 apply the same
+    update as one step at batch 2B (mean loss => mean grads)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_news_recommender_tpu.config import Config, synthetic_config
+    from pytorch_news_recommender_tpu.data import synthetic
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+
+    cfg = synthetic_config()
+    ds = synthetic.generate(cfg.data, seed=2, n_train=128, n_dev=8)
+
+    d = cfg.to_dict()
+    d["train"]["grad_accum_steps"] = 2
+    d["train"]["batch_size"] = 16
+    t_acc = Trainer(Config.from_dict(d), ds)
+    d2 = cfg.to_dict()
+    d2["train"]["batch_size"] = 32
+    t_big = Trainer(Config.from_dict(d2), ds)
+
+    s_acc = t_acc.init_state(seed=0)
+    s_big = t_big.init_state(seed=0)
+    big = next(train_batches(ds.train, 32, None))
+    half1 = {k: v[:16] for k, v in big.items()}
+    half2 = {k: v[16:] for k, v in big.items()}
+    # identical dropout stream across the two paths: deterministic rng and
+    # both models in eval... instead disable dropout via deterministic
+    # apply is baked in; use a fixed rng and accept dropout noise by
+    # comparing against tolerance after ONE update each
+    import numpy as np
+    rng = jax.random.PRNGKey(0)
+    # snapshot BEFORE the first step: run_step donates the state buffers
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_acc.params)]
+    s_acc, _ = t_acc.run_step(s_acc, half1, rng)
+    # no param change until the 2nd micro-step applies the accumulated grads
+    p_mid = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_acc.params)]
+    assert max(np.max(np.abs(a - b)) for a, b in zip(p_mid, p0)) == 0.0
+    s_acc, _ = t_acc.run_step(s_acc, half2, rng)
+    s_big, _ = t_big.run_step(s_big, big, rng)
+
+    p_acc = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_acc.params)]
+    p_big = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_big.params)]
+    deltas = [float(np.max(np.abs(a - b))) for a, b in zip(p_acc, p_big)]
+    # dropout streams differ (different step counters fold into the rng),
+    # so require qualitative agreement: both moved, and in a similar range
+    assert max(deltas) < 5e-2, max(deltas)
+    moved = [float(np.max(np.abs(a - b))) for a, b in zip(p_acc, p0)]
+    assert max(moved) > 0, "accumulated update was never applied"
