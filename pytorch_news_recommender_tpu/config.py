@@ -118,6 +118,13 @@ class ModelConfig:
     param_dtype: str = "float32"        # parameters + accumulations
     use_pallas: bool = True             # fused Pallas kernels on TPU
     pallas_interpret: bool = False      # interpreter-mode kernels (tests)
+    # Use the MXU one-hot kernel for the dedup inverse-gather backward
+    # instead of XLA's scatter-add. OFF by default: current XLA lowers the
+    # TPU scatter sort-based and data-INDEPENDENT (measured ~1.5 ms at
+    # U=12288/S=28672/D=300 even with every slot on one id, vs 2.5 ms for
+    # the one-hot matmul). Keep as insurance for stacks whose scatter
+    # lowering still serializes duplicate skew.
+    dedup_gather_mxu: bool = False
 
     def with_artifact_meta(self, meta: "ArtifactMeta") -> "ModelConfig":
         return dataclasses.replace(

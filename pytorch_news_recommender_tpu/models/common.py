@@ -168,10 +168,14 @@ class RecModel(nn.Module):
             cand_ids = jnp.take(unique_ids, batch["candidate_idx"], axis=0)
             # The inverse gather's backward is a scatter-add with extreme
             # duplicate skew (the pad news alone owns ~half the history
-            # slots), which XLA serializes; the MXU one-hot kernel makes it
-            # data-independent. jnp path kept for CPU / non-pallas configs.
+            # slots). Current XLA lowers the TPU scatter sort-based and
+            # data-independent (~1.5 ms at batch-512 shapes, faster than the
+            # 2.5 ms MXU one-hot — measured, see docs/DESIGN.md), so plain
+            # take is the default; ``dedup_gather_mxu`` re-enables the
+            # kernel on stacks whose scatter still serializes skew.
             c = getattr(self, "cfg", None)
-            if c is not None and getattr(c, "use_pallas", False):
+            if (c is not None and getattr(c, "use_pallas", False)
+                    and getattr(c, "dedup_gather_mxu", False)):
                 from pytorch_news_recommender_tpu.ops.pallas.segment_scatter \
                     import dedup_gather
                 take = functools.partial(
