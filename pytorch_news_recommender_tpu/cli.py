@@ -314,6 +314,36 @@ def cmd_submit(args) -> int:
     return 0
 
 
+def cmd_export_vectors(args) -> int:
+    """Encode the whole corpus once and write the vector table to .npz —
+    decouples offline corpus encoding from serving startup (load the file
+    into any ANN/retrieval system, or ship it to a serving fleet)."""
+    import numpy as np
+
+    from pytorch_news_recommender_tpu.train.checkpoint import (
+        CheckpointManager, load_config,
+    )
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    cfg = load_config(args.ckpt)
+    ds = _load_dataset(args, cfg)
+    trainer = Trainer(cfg, ds)
+    state = CheckpointManager(args.ckpt).restore(trainer.init_state())
+    vecs = np.asarray(trainer.compute_news_vectors(state.params),
+                      dtype=np.float32)
+    out = {"news_vectors": vecs}
+    if args.int8:
+        scale = np.maximum(np.abs(vecs).max(axis=1, keepdims=True) / 127.0,
+                           1e-12)
+        out = {"news_q": np.clip(np.round(vecs / scale), -127,
+                                 127).astype(np.int8),
+               "news_scale": scale.astype(np.float32)}
+    np.savez_compressed(args.out, **out)
+    print(f"saved {vecs.shape[0]} news vectors ({vecs.shape[1]}d, "
+          f"{'int8+scale' if args.int8 else 'float32'}) to {args.out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Stand up the HTTP serving daemon on a trained checkpoint."""
     from pytorch_news_recommender_tpu.serve import Recommender
@@ -438,6 +468,15 @@ def main(argv=None) -> int:
                         "vector table (4x smaller than f32, ranking "
                         "preserved)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("export-vectors",
+                       help="encode the corpus and write news vectors (.npz)")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--int8", action="store_true",
+                   help="per-row symmetric int8 + f32 scale instead of f32")
+    p.set_defaults(fn=cmd_export_vectors)
 
     p = sub.add_parser("submit", help="write MIND leaderboard rank file")
     _add_common(p)

@@ -158,3 +158,35 @@ def test_cli_log_attention(tmp_path):
     assert len(att) >= 2  # news-tower (title) + user-tower (history) sites
     for a in att:
         assert 0.0 <= a["entropy"] <= 1.0 + 1e-6
+
+
+def test_cli_export_vectors(tmp_path, monkeypatch):
+    """export-vectors writes the corpus table (f32 and int8 forms) and the
+    int8 form dequantizes back to the float vectors."""
+    from pytorch_news_recommender_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([
+        "train", "--data", "synthetic", "--model", "nrms",
+        "--epochs", "1", "--batch-size", "32",
+        "--save-dir", str(tmp_path / "save"), "--no-pallas",
+        "--compute-dtype", "float32",
+    ])
+    assert rc == 0
+    ckpt_dir = tmp_path / "save" / "nrms"
+
+    out_f = tmp_path / "vecs.npz"
+    rc = cli.main(["export-vectors", "--data", "synthetic",
+                   "--ckpt", str(ckpt_dir), "--out", str(out_f)])
+    assert rc == 0
+    vecs = np.load(out_f)["news_vectors"]
+    assert vecs.dtype == np.float32 and vecs.ndim == 2
+
+    out_q = tmp_path / "vecs_q.npz"
+    rc = cli.main(["export-vectors", "--data", "synthetic",
+                   "--ckpt", str(ckpt_dir), "--out", str(out_q), "--int8"])
+    assert rc == 0
+    z = np.load(out_q)
+    deq = z["news_q"].astype(np.float32) * z["news_scale"]
+    scale = np.abs(vecs).max() + 1e-9
+    np.testing.assert_allclose(deq / scale, vecs / scale, atol=0.01)
