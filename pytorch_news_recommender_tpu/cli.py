@@ -353,7 +353,8 @@ def cmd_serve(args) -> int:
     cfg = load_config(args.ckpt)
     ds = _load_dataset(args, cfg)
     rec = Recommender.from_checkpoint(args.ckpt, ds,
-                                      corpus_cache=args.corpus_cache)
+                                      corpus_cache=args.corpus_cache,
+                                      vectors_file=args.vectors)
     srv = RecommenderServer(rec, host=args.host, port=args.port)
     print(f"serving {cfg.model.name} ({ds.news.n_news} news) "
           f"on http://{args.host}:{srv.port} — GET /healthz, "
@@ -467,6 +468,9 @@ def main(argv=None) -> int:
                    help="int8 = per-row symmetrically quantized corpus "
                         "vector table (4x smaller than f32, ranking "
                         "preserved)")
+    p.add_argument("--vectors", default=None,
+                   help="precomputed corpus vectors from `export-vectors` "
+                        "(skips the startup corpus encode)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export-vectors",

@@ -53,6 +53,7 @@ class Recommender:
         params,
         candidate_widths: Sequence[int] = (8, 16, 32, 64, 300),
         corpus_cache: str = "native",
+        vectors_file: Optional[str] = None,
     ):
         self.cfg = cfg
         self.model_cfg = cfg.model.with_artifact_meta(dataset.meta)
@@ -69,25 +70,51 @@ class Recommender:
         self.widths = tuple(sorted(candidate_widths))
         self._score_fns: Dict[int, callable] = {}
 
-        # encode the whole corpus once
-        n = dataset.news.n_news
-        chunk = cfg.train.eval_encode_chunk
-        enc = jax.jit(lambda p, ids: self.model.apply(
-            {"params": p}, ids, self.news_feats, True,
-            method="encode_news_ids"))
-        outs = []
-        for s in range(0, n, chunk):
-            ids = jnp.arange(s, min(s + chunk, n), dtype=jnp.int32)
-            if ids.shape[0] < chunk:
-                ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
-            outs.append(enc(params, ids))
-        vecs = jnp.concatenate(outs, axis=0)[:n]
-
         if corpus_cache not in ("native", "int8"):
             raise ValueError(f"corpus_cache must be native|int8, "
                              f"got {corpus_cache!r}")
         self.corpus_cache = corpus_cache
-        if corpus_cache == "int8":
+
+        n = dataset.news.n_news
+        pre_q = None
+        if vectors_file is not None:
+            # Precomputed table from ``cli export-vectors`` — skips the
+            # startup corpus encode entirely (the file must come from the
+            # SAME checkpoint; n_news is validated).
+            z = np.load(vectors_file)
+            if "news_q" in z:
+                pre_q = (jnp.asarray(z["news_q"]),
+                         jnp.asarray(z["news_scale"]))
+                n_file = z["news_q"].shape[0]
+                if corpus_cache != "int8":
+                    raise ValueError(
+                        "vectors_file holds an int8 table; pass "
+                        "corpus_cache='int8' to serve from it")
+                vecs = None
+            else:
+                vecs = jnp.asarray(z["news_vectors"])
+                n_file = vecs.shape[0]
+            if n_file != n:
+                raise ValueError(f"vectors_file has {n_file} rows, dataset "
+                                 f"has {n} news")
+        else:
+            # encode the whole corpus once
+            chunk = cfg.train.eval_encode_chunk
+            enc = jax.jit(lambda p, ids: self.model.apply(
+                {"params": p}, ids, self.news_feats, True,
+                method="encode_news_ids"))
+            outs = []
+            for s in range(0, n, chunk):
+                ids = jnp.arange(s, min(s + chunk, n), dtype=jnp.int32)
+                if ids.shape[0] < chunk:
+                    ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
+                outs.append(enc(params, ids))
+            vecs = jnp.concatenate(outs, axis=0)[:n]
+
+        if pre_q is not None:
+            self.news_q, self.news_scale = pre_q
+            self.news_vecs = None
+        elif corpus_cache == "int8":
             # Symmetric per-row quantization: q = round(v / s), s = amax/127.
             # One jitted pass; the float table never persists.
             @jax.jit

@@ -155,3 +155,40 @@ def test_http_healthz_with_int8_cache(served):
         assert r["corpus_cache"] == "int8"
     finally:
         srv.stop()
+
+
+def test_vectors_file_roundtrip(served, tmp_path):
+    """Serving from an exported vectors file matches live encoding, for both
+    the float and int8 export forms."""
+    cfg, ds, trainer, state, rec = served
+    hist = [1, 2, 3]
+
+    vecs = np.asarray(rec.news_vecs, dtype=np.float32)
+    f32_path = tmp_path / "v.npz"
+    np.savez(f32_path, news_vectors=vecs)
+    rec_f = Recommender(cfg, ds, state.params, vectors_file=str(f32_path))
+    np.testing.assert_allclose(np.asarray(rec_f.news_vecs), vecs,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(rec_f.score(hist, [4, 5, 6]),
+                               rec.score(hist, [4, 5, 6]),
+                               rtol=1e-4, atol=1e-5)
+
+    scale = np.maximum(np.abs(vecs).max(axis=1, keepdims=True) / 127.0,
+                       1e-12)
+    q = np.clip(np.round(vecs / scale), -127, 127).astype(np.int8)
+    q_path = tmp_path / "vq.npz"
+    np.savez(q_path, news_q=q, news_scale=scale.astype(np.float32))
+    rec_q = Recommender(cfg, ds, state.params, corpus_cache="int8",
+                        vectors_file=str(q_path))
+    ids_a, _ = rec.top_k(hist, k=10)
+    ids_b, _ = rec_q.top_k(hist, k=10)
+    recall = len(set(map(int, ids_a)) & set(map(int, ids_b))) / 10
+    assert recall >= 0.9
+
+    # int8 file requires the int8 cache mode; row-count mismatch rejected
+    with pytest.raises(ValueError):
+        Recommender(cfg, ds, state.params, vectors_file=str(q_path))
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, news_vectors=vecs[:-1])
+    with pytest.raises(ValueError):
+        Recommender(cfg, ds, state.params, vectors_file=str(bad))
