@@ -8,6 +8,7 @@ from pytorch_news_recommender_tpu.config import MeshConfig
 from pytorch_news_recommender_tpu.parallel.mesh import make_mesh
 from pytorch_news_recommender_tpu.parallel.sharded_embedding import (
     sharded_embedding_lookup,
+    sharded_embedding_lookup_a2a,
 )
 
 
@@ -41,6 +42,54 @@ def test_lookup_grad_matches():
     g1 = jax.grad(loss_sharded)(table)
     g2 = jax.grad(loss_ref)(table)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+
+def test_a2a_lookup_matches_take():
+    for mp in (2, 4):
+        mesh, table, ids = _setup(mp)
+        # generous capacity: uniform ids at this size never overflow
+        out, dropped = sharded_embedding_lookup_a2a(
+            table, ids, mesh, capacity_factor=float(mp))
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(jnp.take(table, ids, axis=0)),
+                                   rtol=1e-6)
+
+
+def test_a2a_overflow_detected_never_corrupts():
+    """All ids hit ONE owner shard with a tiny capacity: the overflow must be
+    reported, and in-capacity outputs must still be exact (zero rows only for
+    the dropped slots)."""
+    mesh = make_mesh(MeshConfig(model_parallel_size=4))
+    rng = np.random.default_rng(1)
+    V, D = 64, 16
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    # owner shard 3 holds rows [48, 64); all ids land there
+    ids = jnp.asarray(rng.integers(48, 64, size=(8, 8)), jnp.int32)
+    out, dropped = sharded_embedding_lookup_a2a(
+        table, ids, mesh, capacity_factor=1.0)
+    ref = np.asarray(jnp.take(table, ids, axis=0))
+    got = np.asarray(out)
+    assert int(dropped) > 0
+    zero_rows = np.all(got == 0.0, axis=-1)
+    ok_rows = ~zero_rows
+    np.testing.assert_allclose(got[ok_rows], ref[ok_rows], rtol=1e-6)
+    # exactly `dropped` slots zeroed (no silent wrong values)
+    assert int(zero_rows.sum()) == int(dropped)
+
+
+def test_a2a_lookup_under_jit_sharded_inputs():
+    mesh, table, ids = _setup(2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    table_s = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids_s = jax.device_put(ids, NamedSharding(mesh, P("data")))
+    fn = jax.jit(lambda t, i: sharded_embedding_lookup_a2a(
+        t, i, mesh, capacity_factor=2.0))
+    out, dropped = fn(table_s, ids_s)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.take(table, ids, axis=0)),
+                               rtol=1e-6)
 
 
 def test_lookup_under_jit_sharded_inputs():
