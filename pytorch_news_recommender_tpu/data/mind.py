@@ -9,12 +9,15 @@ semantics preserved exactly (they determine AUC parity — SURVEY.md §7):
 * **news union** across train/dev/test, deduped by News_ID
   (``data_processor.py:100-139``); news index is 1-based, 0 = pad
   (``data_handler.py:60-66`` ``+1`` mapping);
-* **tokenization** for the vocabulary: lowercase, DELETE digit characters,
-  ``\\w+`` tokens, keep words with frequency >= 3
-  (``data_processor.py:151-183``). Title/abstract id conversion tokenizes the
-  lowercased text WITHOUT digit deletion and keeps only in-vocab words
-  (``data_processor.py:195-216`` — reproducing this asymmetry matters for
-  vocab parity); pad/truncate title -> 20, abstract -> 40;
+* **tokenization**: lowercase, DELETE digit characters, ``\\w+`` tokens —
+  for BOTH the vocabulary count and the title/abstract id conversion. The
+  reference's ``clean_words`` mutates the Title/Abstract dataframe columns
+  in place (``data_processor.py:157-158``) BEFORE ``get_title_word_idxs``
+  is applied to those same mutated columns (``data_processor.py:218-219``),
+  so the id path also sees digit-stripped text ("covid19" tokenizes as
+  "covid", which is in-vocab — not dropped). Vocabulary keeps words with
+  frequency >= 3 (``data_processor.py:179-183``); pad/truncate
+  title -> 20, abstract -> 40;
 * **category / subcategory / user dictionaries**: 1-based, 0 = pad/unknown;
 * **GloVe matrix**: row 0 zeros, known words from the vectors file, missing
   words ~ N(0, 1) (``data_processor.py:67-97``);
@@ -59,16 +62,23 @@ NEWS_COLS = ("news_id", "category", "subcategory", "title", "abstract",
 BEHAVIOR_COLS = ("impression_id", "user_id", "time", "history", "impressions")
 
 
-def tokenize_for_vocab(text: str) -> List[str]:
+def tokenize(text: str) -> List[str]:
     """Lowercase, delete digit chars, ``\\w+`` tokens
-    (``data_processor.py:151-156``)."""
+    (``data_processor.py:151-156``).
+
+    Used for BOTH vocabulary counting and word-id conversion: the reference
+    overwrites the Title/Abstract columns with ``clean_words`` output
+    (``data_processor.py:157-158``) before ``get_title_word_idxs`` runs on
+    those same columns (``data_processor.py:218-219``), so its id sequences
+    are built from digit-stripped text too.
+    """
     return _TOKEN_RE.findall(text.lower().translate(_DIGITS_TABLE))
 
 
-def tokenize_for_ids(text: str) -> List[str]:
-    """Lowercase only — the id-conversion path does NOT delete digits
-    (``data_processor.py:195-205``)."""
-    return _TOKEN_RE.findall(text.lower())
+# Both paths share the same semantics (see ``tokenize``); the aliases keep
+# call sites self-documenting about WHICH reference path they mirror.
+tokenize_for_vocab = tokenize
+tokenize_for_ids = tokenize
 
 
 def _read_tsv(path: pathlib.Path, cols: Sequence[str]) -> Iterable[Dict[str, str]]:

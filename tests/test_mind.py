@@ -1,7 +1,8 @@
 """MIND preprocessing pipeline tests on synthesized raw TSV fixtures.
 
 Checks the reference-parity semantics documented in ``data/mind.py``:
-tokenization asymmetry, 1-based indexing with pad row 0, negative-sampling
+digit-stripped tokenization on BOTH the vocab and id paths, 1-based
+indexing with pad row 0, negative-sampling
 group structure (positive at slot 0, no wraparound), history filters, ragged
 dev labels, GloVe/entity matrix layout, and artifact roundtrip.
 """
@@ -91,6 +92,23 @@ def test_vocab_and_tokenization(mind_dirs, cfg):
     # N1 title "Team wins big game 2020": only in-vocab words kept
     t1 = ds.news.title[1]
     assert vocab["team"] in t1 and vocab["game"] in t1
+
+
+def test_id_conversion_digit_strips_like_vocab():
+    """Alphanumeric tokens map to their digit-stripped word's id.
+
+    Reference trace: ``clean_words`` (lowercase + digit deletion) overwrites
+    the Title/Abstract dataframe columns (``data_processor.py:157-158``)
+    BEFORE ``get_title_word_idxs`` tokenizes those same mutated columns
+    (``data_processor.py:218-219``), so the reference's word-id sequences are
+    built from digit-stripped text: "covid19" is id-mapped as "covid"
+    (in-vocab), NOT dropped as an out-of-vocab token.
+    """
+    assert mind.tokenize("Covid19 Vaccine 2020") == ["covid", "vaccine"]
+    vocab = {"covid": 1, "vaccine": 2}
+    assert mind._to_ids("Covid19 vaccine rollout 2020", vocab, 4) == [1, 2, 0, 0]
+    # both public aliases share the digit-strip semantics
+    assert mind.tokenize_for_ids("abc123def") == mind.tokenize_for_vocab("abc123def") == ["abcdef"]
 
 
 def test_news_union_and_dicts(mind_dirs, cfg):
