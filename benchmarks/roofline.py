@@ -19,6 +19,8 @@ Interpretation notes (also in docs/DESIGN.md):
    were measured and do NOT move it (fixed per-row cost, not bytes).
 
 Run: python benchmarks/roofline.py [--batch 512]
+``--batch`` scales the dedup width M (and with it every T = M*L count)
+proportionally from the measured batch-512 value of ~12288 unique news.
 """
 
 from __future__ import annotations
@@ -87,7 +89,10 @@ def main():
     log(f"device: {kind}  peaks: {peaks and f'{peaks[0]} bf16 TFLOP/s, {peaks[1]} GB/s HBM'}")
 
     B = args.batch
-    M, L, D, Q, H = 12288, 20, 300, 200, 10  # dedup width at batch 512
+    # measured dedup width is ~12288 unique news at batch 512; scale
+    # proportionally (rounded up to the kernel's 256-row grid block)
+    M = -(-12288 * B // 512) // 256 * 256 or 256
+    L, D, Q, H = 20, 300, 200, 10
     T = M * L
     V = 45800
 

@@ -142,19 +142,27 @@ def sharded_embedding_lookup_a2a(
     )
     def lookup(local_table, local_ids):
         m = jax.lax.axis_index(model_axis)
+        d = jax.lax.axis_index(data_axis)
         sl = jax.lax.dynamic_slice(local_ids, (m * k,), (k,))
-        owner = sl // rows                       # [k] in [0, n_model)
+        # Divisibility pad slots (appended before the shard_map) are NOT
+        # real requests: give them a sentinel owner so they sort past every
+        # real id — they never consume bucket capacity, are never counted
+        # in `dropped`, and route to the trash column on dispatch.
+        valid = (d * n_local + m * k + jnp.arange(k)) < n_total
+        owner = jnp.where(valid, sl // rows, n_model)  # [k]; pads -> sentinel
         order = jnp.argsort(owner, stable=True)
         s_owner = owner[order]
         s_ids = sl[order]
-        # rank within each owner bucket
+        s_valid = valid[order]
+        # rank within each owner bucket (pads are a trailing pseudo-bucket)
         start = jnp.searchsorted(s_owner, jnp.arange(n_model))
-        pos = jnp.arange(k) - start[s_owner]
-        ok = pos < cap
-        dropped = jnp.sum(~ok).astype(jnp.int32)
-        # pack requests [n_model, cap] (+1 trash column for overflow)
+        pos = jnp.arange(k) - start[jnp.minimum(s_owner, n_model - 1)]
+        ok = (pos < cap) & s_valid
+        dropped = jnp.sum(s_valid & (pos >= cap)).astype(jnp.int32)
+        # pack requests [n_model, cap] (+1 trash column for overflow/pads)
         disp = jnp.zeros((n_model, cap + 1), jnp.int32)
-        disp = disp.at[s_owner, jnp.where(ok, pos, cap)].set(s_ids)
+        disp = disp.at[jnp.minimum(s_owner, n_model - 1),
+                       jnp.where(ok, pos, cap)].set(jnp.where(ok, s_ids, 0))
         disp = disp[:, :cap]
         # exchange requests; recv[j] = peer j's requests for MY block
         recv = jax.lax.all_to_all(

@@ -78,6 +78,25 @@ def test_a2a_overflow_detected_never_corrupts():
     assert int(zero_rows.sum()) == int(dropped)
 
 
+def test_a2a_pad_slots_never_count_as_dropped():
+    """Divisibility pad slots must not consume owner-0 bucket capacity nor
+    be counted in `dropped`: 9 ids on a 2x4 mesh pad to 16, and with
+    capacity_factor=1.0 (cap=1 per peer-slice bucket) the 7 pads previously
+    reported spurious drops even though every real row was exact."""
+    mesh = make_mesh(MeshConfig(model_parallel_size=4))
+    rng = np.random.default_rng(0)
+    V, D = 64, 16
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    # owners cycle 0..3 so no (data, model, owner) bucket holds 2 real ids
+    ids = jnp.asarray([0, 16, 32, 48, 1, 17, 33, 49, 2], jnp.int32)
+    out, dropped = sharded_embedding_lookup_a2a(
+        table, ids, mesh, capacity_factor=1.0)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.take(table, ids, axis=0)),
+                               rtol=1e-6)
+
+
 def test_a2a_lookup_under_jit_sharded_inputs():
     mesh, table, ids = _setup(2)
     from jax.sharding import NamedSharding, PartitionSpec as P
