@@ -198,6 +198,12 @@ class TrainConfig:
     # (observed INVALID_ARGUMENT on axon) — enable on a standard Cloud TPU
     # runtime after checking checkpoint saves round-trip.
     auto_layouts: bool = False
+    # Force the multi-process feed path (per-process batch slices assembled
+    # into global jax.Arrays via make_array_from_process_local_data) even in
+    # a single-process run. The path activates automatically when
+    # jax.process_count() > 1; this knob lets tests and the driver dryrun
+    # exercise the exact code a 2-host run takes on a 1-process virtual mesh.
+    sliced_feed: bool = False
     save_dir: str = "save_model"
     log_dir: str = "logs"
 

@@ -209,6 +209,8 @@ def build_dataset(
         news=NewsFeatures(title=title, abst=abst, categ=categ,
                           subcateg=subcateg),
         train=train, dev=dev, test=None, meta=meta,
+        dicts={"word": vocab, "news": news.index, "category": cat_dict,
+               "subcategory": subcat_dict, "user": user_index},
     )
     if out_dir is not None:
         ds.save(out_dir)

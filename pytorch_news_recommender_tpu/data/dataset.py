@@ -99,6 +99,14 @@ class RecDataset:
     # and the entity matrix (``tools.py:30-48``)
     word_embeddings: Optional[np.ndarray] = None    # [n_words, D] float32
     entity_embeddings: Optional[np.ndarray] = None  # [n_entities, D] float32
+    # String -> 1-based id dictionaries from preprocessing: "word", "news",
+    # "category", "subcategory", "user", "entity" (WikiData Q-id). The
+    # reference persists these as word_dict.csv / news_words.csv /
+    # entity_ids_dict.pkl (``data_processor.py:186-188,221``,
+    # ``tools.py:44-48``); without them a NEW news item cannot be tokenized
+    # at serving time nor a tokenization diff debugged against reference
+    # artifacts.
+    dicts: Optional[Dict[str, Dict[str, int]]] = None
 
     # ---- persistence (npz + json metadata; replaces the reference's
     # convention-keyed pickles, ``data_processor.py:498-503``) ----
@@ -124,6 +132,10 @@ class RecDataset:
             pretrained["entity"] = self.entity_embeddings
         if pretrained:
             np.savez_compressed(path / "pretrained.npz", **pretrained)
+        if self.dicts is not None:
+            import json
+            with open(path / "dicts.json", "w", encoding="utf-8") as f:
+                json.dump(self.dicts, f, ensure_ascii=False)
         self.meta.save(path / "meta.json")
 
     @classmethod
@@ -146,6 +158,13 @@ class RecDataset:
                 word_emb = z["word"] if "word" in z.files else None
                 entity_emb = z["entity"] if "entity" in z.files else None
 
+        dicts = None
+        dj = path / "dicts.json"
+        if dj.exists():
+            import json
+            with open(dj, encoding="utf-8") as f:
+                dicts = json.load(f)
+
         return cls(
             news=news,
             train=load_split("train", TrainData),
@@ -154,4 +173,5 @@ class RecDataset:
             meta=meta,
             word_embeddings=word_emb,
             entity_embeddings=entity_emb,
+            dicts=dicts,
         )

@@ -82,6 +82,31 @@ def _length_partition(unique_ids: np.ndarray, u: int, width: int,
     return buf, newpos, short_width
 
 
+def _dedup_ids(browsed: np.ndarray, cand: np.ndarray):
+    """Shared dedup core: ``(u, unique_buffer, browsed_idx, candidate_idx)``
+    with slot 0 always the pad news 0 and inverse indices into the buffer."""
+    from pytorch_news_recommender_tpu import native
+    nat = native.batch_dedup(browsed, cand) if native.available() else None
+    if nat is not None:
+        # C++ hash-dedup fast path (~10x the np.unique sort; bit-identical —
+        # tests/test_native.py asserts it)
+        return nat
+    all_ids = np.concatenate(
+        [np.zeros(1, browsed.dtype), browsed.ravel(), cand.ravel()])
+    uniq_buf, inv = np.unique(all_ids, return_inverse=True)
+    nb = browsed.size
+    browsed_idx = inv[1:1 + nb].reshape(browsed.shape).astype(np.int32)
+    candidate_idx = inv[1 + nb:].reshape(cand.shape).astype(np.int32)
+    return len(uniq_buf), uniq_buf, browsed_idx, candidate_idx
+
+
+def _pick_unique_bucket(u: int, buckets: Sequence[int]) -> int:
+    width = next((b for b in buckets if u <= b), None)
+    if width is None:
+        width = int(np.ceil(u / buckets[-1])) * buckets[-1]
+    return width
+
+
 def dedup_batch(batch: Batch,
                 buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS,
                 length_split: Optional[LengthSplit] = None) -> Batch:
@@ -106,24 +131,8 @@ def dedup_batch(batch: Batch,
     cand = batch["candidate_ids"]
     n_slots = browsed.size + cand.size
 
-    from pytorch_news_recommender_tpu import native
-    nat = native.batch_dedup(browsed, cand) if native.available() else None
-    if nat is not None:
-        # C++ hash-dedup fast path (~10x the np.unique sort; bit-identical —
-        # tests/test_native.py asserts it)
-        u, uniq_buf, browsed_idx, candidate_idx = nat
-    else:
-        all_ids = np.concatenate(
-            [np.zeros(1, browsed.dtype), browsed.ravel(), cand.ravel()])
-        uniq_buf, inv = np.unique(all_ids, return_inverse=True)
-        u = len(uniq_buf)
-        nb = browsed.size
-        browsed_idx = inv[1:1 + nb].reshape(browsed.shape).astype(np.int32)
-        candidate_idx = inv[1 + nb:].reshape(cand.shape).astype(np.int32)
-
-    width = next((b for b in buckets if u <= b), None)
-    if width is None:
-        width = int(np.ceil(u / buckets[-1])) * buckets[-1]
+    u, uniq_buf, browsed_idx, candidate_idx = _dedup_ids(browsed, cand)
+    width = _pick_unique_bucket(u, buckets)
     if width >= n_slots:
         return batch  # dedup would not shrink the encoder workload
     short_width = 0
@@ -184,6 +193,78 @@ def train_batches(
             batch["user_ids"] = data.user_ids[idx]
         yield (dedup_batch(batch, unique_buckets, length_split)
                if dedup else batch)
+
+
+def train_batches_sliced(
+    data: TrainData,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    process_index: int = 0,
+    process_count: int = 1,
+    drop_remainder: bool = True,
+    dedup: bool = False,
+    unique_buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS,
+) -> Iterator[Batch]:
+    """Per-process slices of globally-agreed training batches (the
+    multi-process SPMD feed — SURVEY.md §2.3 "per-host input feeding").
+
+    Every process holds the full (host-resident) ``TrainData`` and seeds the
+    same ``rng``, so all processes compute the SAME global permutation; each
+    yields only its contiguous ``batch_size/process_count`` row slice, to be
+    assembled into a global ``jax.Array`` with
+    ``jax.make_array_from_process_local_data`` (``distributed.global_batch``).
+
+    With ``dedup``, each process dedups its OWN slice and the bucket width is
+    agreed deterministically: every process computes every process's unique
+    count from the shared permutation (an extra ``process_count - 1``
+    np.unique passes per batch — microseconds at batch 512) and takes the
+    bucket fitting the maximum. The global ``unique_ids`` buffer is then the
+    concatenation of the per-process blocks (``[process_count * W]``) and each
+    process's inverse indices are offset by ``process_index * W``, so the
+    jitted gather works on global offsets unchanged. Direct form is chosen
+    globally: all processes compare the same ``W`` against the same local
+    slot count. (Length-split partitioning is a single-process optimization —
+    per-process short widths would disagree — so it is not applied here.)
+    """
+    n = len(data)
+    assert batch_size % process_count == 0, (batch_size, process_count)
+    per = batch_size // process_count
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    n_full = n - (n % batch_size) if drop_remainder else n
+    for s in range(0, n_full, batch_size):
+        slices = [order[s + h * per: s + (h + 1) * per]
+                  for h in range(process_count)]
+        mine = slices[process_index]
+        batch = {
+            "browsed_ids": data.browsed_ids[mine],
+            "candidate_ids": data.candidate_ids[mine],
+        }
+        if data.user_ids is not None:
+            batch["user_ids"] = data.user_ids[mine]
+        if not dedup:
+            yield batch
+            continue
+        deds = [_dedup_ids(data.browsed_ids[idx], data.candidate_ids[idx])
+                for idx in slices]
+        width = _pick_unique_bucket(max(d[0] for d in deds), unique_buckets)
+        n_slots_local = batch["browsed_ids"].size + batch["candidate_ids"].size
+        if width >= n_slots_local:
+            yield batch  # globally-agreed direct form
+            continue
+        u, uniq_buf, browsed_idx, candidate_idx = deds[process_index]
+        unique_ids = np.zeros(width, np.int32)
+        unique_ids[:min(u, width)] = uniq_buf[:u][:width]
+        off = np.int32(process_index * width)
+        out = {
+            "unique_ids": unique_ids,
+            "browsed_idx": browsed_idx + off,
+            "candidate_idx": candidate_idx + off,
+        }
+        if data.user_ids is not None:
+            out["user_ids"] = batch["user_ids"]
+        yield out
 
 
 @dataclasses.dataclass

@@ -491,6 +491,12 @@ def build_dataset(
         train=train, dev=dev, test=test, meta=meta,
         word_embeddings=word_emb,
         entity_embeddings=entity_mat if qid_dict else None,
+        # the id dictionaries the reference persists as word_dict.csv /
+        # news_words.csv / entity_ids_dict.pkl — required to tokenize NEW
+        # news at serving time (Recommender.add_news)
+        dicts={"word": vocab, "news": news.index, "category": cat_dict,
+               "subcategory": subcat_dict, "user": user_index,
+               "entity": qid_dict},
     )
     if out_dir is not None:
         ds.save(out_dir)

@@ -34,12 +34,16 @@ def device_prefetch(
     batches: Iterator[Batch],
     sharding_for: Callable[[Batch], Dict[str, jax.sharding.Sharding]],
     depth: int = 2,
+    put_fn: Optional[Callable[[Batch], Dict[str, jax.Array]]] = None,
 ) -> Iterator[Dict[str, jax.Array]]:
     """Wrap a host batch iterator with an async device-upload stage.
 
     ``sharding_for(batch)`` returns the per-key shardings (the Trainer's
     ``_batch_shardings``). ``depth`` bounds how many batches sit on device
-    ahead of compute (2 = classic double buffering).
+    ahead of compute (2 = classic double buffering). ``put_fn`` overrides the
+    upload itself (the multi-process path assembles global jax.Arrays from
+    host-local shards via ``distributed.global_batch`` instead of a plain
+    device_put).
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
@@ -47,9 +51,12 @@ def device_prefetch(
     def worker():
         try:
             for b in batches:
-                shards = sharding_for(b)
-                dev = {k: jax.device_put(jnp.asarray(v), shards[k])
-                       for k, v in b.items()}
+                if put_fn is not None:
+                    dev = put_fn(b)
+                else:
+                    shards = sharding_for(b)
+                    dev = {k: jax.device_put(jnp.asarray(v), shards[k])
+                           for k, v in b.items()}
                 q.put(dev)
         except BaseException as e:  # propagate to consumer
             err.append(e)

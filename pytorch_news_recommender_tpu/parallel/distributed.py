@@ -59,16 +59,32 @@ def process_local_slice(n: int) -> slice:
 def global_batch(
     local_batch: Dict[str, np.ndarray],
     shardings: Dict[str, NamedSharding],
-    global_sizes: Dict[str, int],
+    global_sizes: Optional[Dict[str, int]] = None,
 ) -> Dict[str, jax.Array]:
     """Assemble per-host numpy shards into global jax.Arrays.
 
     ``local_batch[k]`` holds THIS host's rows; ``global_sizes[k]`` the global
-    leading size. Single-process: equivalent to a device_put."""
+    leading size (default: ``local rows * process_count`` — the contiguous
+    equal-slice layout produced by ``loader.train_batches_sliced``).
+    Single-process: equivalent to a device_put."""
+    np_ = jax.process_count()
     out = {}
     for k, v in local_batch.items():
         sharding = shardings[k]
-        global_shape = (global_sizes[k],) + v.shape[1:]
+        g = (global_sizes[k] if global_sizes is not None
+             else v.shape[0] * np_)
+        global_shape = (g,) + v.shape[1:]
         out[k] = jax.make_array_from_process_local_data(
             sharding, v, global_shape)
     return out
+
+
+def fetch_global(arr: jax.Array) -> np.ndarray:
+    """Full global value of a (possibly cross-process sharded) array on THIS
+    host. Single-process: a plain np.asarray; multi-process: an all-gather
+    over DCN via ``multihost_utils.process_allgather`` (used for eval score
+    matrices — small ``[batch, bucket]`` blocks, so the gather is cheap)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))

@@ -67,6 +67,11 @@ class Recommender:
         self.news_feats = {k: jnp.asarray(v)
                            for k, v in dataset.news.as_dict().items()}
         self.H = cfg.data.history_len
+        self.data_cfg = cfg.data
+        # preprocessing dictionaries (word/category/... -> 1-based id) for
+        # tokenizing NEWS THAT WERE NOT IN THE TRAINING CORPUS (the
+        # reference persists these as word_dict.csv / entity_ids_dict.pkl)
+        self.dicts = dataset.dicts
         self.widths = tuple(sorted(candidate_widths))
         self._score_fns: Dict[int, callable] = {}
 
@@ -130,16 +135,25 @@ class Recommender:
             self.news_vecs = vecs
 
         self._cd = jnp.dtype(self.model_cfg.compute_dtype)
-        self.n_news = int(n)
-        self._topk_fn = jax.jit(self._topk_impl, static_argnums=(2,))
+        self.n_news = int(n)   # REAL news count; tables may be over-allocated
+        self._topk_fn = jax.jit(self._topk_impl, static_argnums=(3,))
 
-    def _lookup(self, ids: jax.Array) -> jax.Array:
+    def _tables(self) -> tuple:
+        """The corpus cache as a jit-argument tuple (so table UPDATES from
+        :meth:`add_news` flow into already-compiled request paths without
+        retracing — the tables are arguments, never closure constants)."""
+        if self.corpus_cache == "int8":
+            return (self.news_q, self.news_scale)
+        return (self.news_vecs,)
+
+    def _lookup(self, ids: jax.Array, tables: tuple) -> jax.Array:
         """Cached corpus rows for ``ids`` (dequantized when int8)."""
         if self.corpus_cache == "int8":
-            q = jnp.take(self.news_q, ids, axis=0).astype(jnp.float32)
-            s = jnp.take(self.news_scale, ids, axis=0)
-            return (q * s).astype(self._cd)
-        return jnp.take(self.news_vecs, ids, axis=0)
+            q, scale = tables
+            rows = jnp.take(q, ids, axis=0).astype(jnp.float32)
+            s = jnp.take(scale, ids, axis=0)
+            return (rows * s).astype(self._cd)
+        return jnp.take(tables[0], ids, axis=0)
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir, dataset: RecDataset,
@@ -177,11 +191,12 @@ class Recommender:
         if w not in self._score_fns:
             # Mirrors RecModel.score_from_vecs (models/common.py) with the
             # cache-mode lookup swapped in; keep the two in sync.
-            def score_w(p, batch):
+            def score_w(p, batch, tables):
                 b, c = batch["browsed_ids"], batch["candidate_ids"]
                 return self.model.apply(
                     {"params": p}, batch, b, c,
-                    self._lookup(b), self._lookup(c), self.news_feats, True,
+                    self._lookup(b, tables), self._lookup(c, tables),
+                    self.news_feats, True,
                     method="score_impression")
             self._score_fns[w] = jax.jit(score_w)
         cand = np.zeros(w, np.int32)
@@ -191,13 +206,14 @@ class Recommender:
             "candidate_ids": jnp.asarray(cand)[None],
             "user_ids": jnp.asarray([user_id], jnp.int32),
         }
-        s = np.asarray(self._score_fns[w](self.params, batch))[0]
+        s = np.asarray(
+            self._score_fns[w](self.params, batch, self._tables()))[0]
         return s[:len(candidates)]
 
-    def _topk_impl(self, params, batch, k: int):
+    def _topk_impl(self, params, batch, tables, k: int, n_real):
         # corpus-wide dot-product retrieval: user vector against every news
         b_ids = batch["browsed_ids"]
-        browsed_vecs = self._lookup(b_ids)
+        browsed_vecs = self._lookup(b_ids, tables)
         # reuse the family's head on a length-1 candidate list to extract
         # the user vector is model-specific; dot-product families share the
         # user_encoder attribute.
@@ -208,18 +224,136 @@ class Recommender:
         if self.corpus_cache == "int8":
             # int8 rows stream from HBM (the convert fuses into the matmul);
             # per-row dequant folds into the score afterwards.
+            q, scale = tables
             raw = jnp.einsum("bd,nd->bn", user_vec.astype(jnp.float32),
-                             self.news_q.astype(jnp.float32))
-            scores = raw * self.news_scale[:, 0][None, :]
+                             q.astype(jnp.float32))
+            scores = raw * scale[:, 0][None, :]
         else:
             scores = jnp.einsum("bd,nd->bn", user_vec.astype(jnp.float32),
-                                self.news_vecs.astype(jnp.float32))
-        scores = scores.at[:, 0].set(-jnp.inf)  # pad news
+                                tables[0].astype(jnp.float32))
+        n_alloc = scores.shape[1]
+        # mask the pad news (row 0) and unused over-allocated capacity rows
+        valid = (jnp.arange(n_alloc)[None, :] >= 1) & (
+            jnp.arange(n_alloc)[None, :] < n_real)
+        scores = jnp.where(valid, scores, -jnp.inf)
         top_scores, top_ids = jax.lax.top_k(scores, k)
         return top_ids, top_scores
 
     def top_k(self, history: Sequence[int], k: int = 10):
         """Corpus-wide retrieval (dot-product families)."""
         batch = {"browsed_ids": jnp.asarray(self._pad_history(history))[None]}
-        ids, scores = self._topk_fn(self.params, batch, k)
+        ids, scores = self._topk_fn(self.params, batch, self._tables(), k,
+                                    jnp.int32(self.n_news))
         return np.asarray(ids)[0], np.asarray(scores)[0]
+
+    # ---- fresh-news ingestion ----
+    GROW_BLOCK = 256   # corpus tables over-allocate in blocks so repeated
+    #                    add_news calls recompile the (shape-keyed) request
+    #                    paths only once per block, not once per news
+
+    def tokenize_new_news(self, title: str, abstract: str = "",
+                          category: str = "", subcategory: str = "",
+                          entities: Sequence[str] = ()) -> Dict[str, np.ndarray]:
+        """Feature rows for a news item NOT in the training corpus, using the
+        persisted preprocessing dictionaries and the exact pipeline
+        tokenization (lowercase + digit-strip + ``\\w+`` + in-vocab — see
+        ``data/mind.py``; reference ``data_processor.py:151-219``)."""
+        if not self.dicts or "word" not in self.dicts:
+            raise ValueError(
+                "dataset has no persisted dictionaries (dicts.json) — "
+                "re-run preprocessing with this version to enable "
+                "fresh-news tokenization")
+        from pytorch_news_recommender_tpu.data import mind
+        d = self.data_cfg
+        word = self.dicts["word"]
+        out: Dict[str, np.ndarray] = {
+            "title": np.asarray(
+                mind._to_ids(title, word, d.n_words_title), np.int32),
+            "abst": np.asarray(
+                mind._to_ids(abstract, word, d.n_words_abst), np.int32),
+            "categ": np.int32(self.dicts.get("category", {}).get(category, 0)),
+            "subcateg": np.int32(
+                self.dicts.get("subcategory", {}).get(subcategory, 0)),
+        }
+        ent_dict = self.dicts.get("entity", {})
+        eids = [ent_dict.get(q, 0) for q in entities]
+        eids = [e for e in eids if e][:d.entity_nums]
+        ent = np.zeros(d.entity_nums, np.int32)
+        ent[:len(eids)] = eids
+        out["entity"] = ent
+        return out
+
+    def encode_new_news(self, title: str, abstract: str = "",
+                        category: str = "", subcategory: str = "",
+                        entities: Sequence[str] = ()) -> np.ndarray:
+        """News-tower vector for a fresh news item (``[D]`` float)."""
+        keys = self.model.FEAT_KEYS
+        if "bert" in keys:
+            raise ValueError(
+                f"model family '{self.cfg.model.name}' encodes news from "
+                "precomputed per-news vectors; fresh news needs an external "
+                "vector, not tokenization")
+        rows = self.tokenize_new_news(title, abstract, category,
+                                      subcategory, entities)
+        missing = [k for k in keys if k not in rows]
+        if missing:
+            raise ValueError(f"cannot build features {missing} for a fresh "
+                             f"news item (family '{self.cfg.model.name}')")
+        feats = {k: jnp.asarray(rows[k])[None] for k in keys}
+        if "encode_new" not in self._score_fns:
+            self._score_fns["encode_new"] = jax.jit(
+                lambda p, f: self.model.apply(
+                    {"params": p}, f, True, method="encode_news_feats"))
+        vec = self._score_fns["encode_new"](self.params, feats)
+        return np.asarray(vec[0])
+
+    def add_news(self, title: str, abstract: str = "", category: str = "",
+                 subcategory: str = "", entities: Sequence[str] = ()) -> int:
+        """Ingest a fresh news item: tokenize with the pipeline dictionaries,
+        encode through the news tower, append to the corpus cache AND the
+        resident feature tables. Returns the new news id (usable in
+        ``score``/``top_k`` immediately).
+
+        The vector tables grow in ``GROW_BLOCK`` steps and are jit ARGUMENTS
+        of the request paths, so adds within a block reuse the compiled
+        executables; the feature tables (side-feature families only) are
+        closure-captured, so the per-width score fns are dropped on add and
+        re-trace lazily."""
+        vec = jnp.asarray(self.encode_new_news(
+            title, abstract, category, subcategory, entities))
+        nid = self.n_news
+
+        def grown(table, row):
+            cap = table.shape[0]
+            if nid >= cap:
+                pad = np.zeros((self.GROW_BLOCK,) + table.shape[1:],
+                               np.asarray(table).dtype)
+                table = jnp.concatenate([table, jnp.asarray(pad)], axis=0)
+            return table.at[nid].set(row)
+
+        if self.corpus_cache == "int8":
+            s = float(jnp.maximum(jnp.max(jnp.abs(vec)) / 127.0, 1e-12))
+            q = jnp.clip(jnp.round(vec / s), -127, 127).astype(jnp.int8)
+            self.news_q = grown(self.news_q, q)
+            self.news_scale = grown(self.news_scale,
+                                    jnp.asarray([s], jnp.float32))
+        else:
+            self.news_vecs = grown(self.news_vecs, vec.astype(
+                self.news_vecs.dtype))
+
+        # resident feature tables: append the tokenized rows so
+        # side-feature score heads (HieRec) see the new news too
+        rows = self.tokenize_new_news(title, abstract, category,
+                                      subcategory, entities)
+        for k in list(self.news_feats):
+            if k in rows:
+                self.news_feats[k] = grown(self.news_feats[k],
+                                           jnp.asarray(rows[k]))
+        # feature tables are closure-captured by the per-width score fns
+        for w in list(self._score_fns):
+            if isinstance(w, int):
+                del self._score_fns[w]
+        if self.dicts is not None and "news" in self.dicts:
+            self.dicts["news"][f"__fresh_{nid}"] = nid
+        self.n_news = nid + 1
+        return nid

@@ -10,6 +10,11 @@ deployment needs a process answering requests. This daemon is stdlib-only
                           "user_id": 0}         -> {"scores": [...]}
 * ``POST /top_k``       {"history": [ids], "k": 10}
                                                -> {"ids": [...], "scores": [...]}
+* ``POST /add_news``    {"title": str, "abstract": str, "category": str,
+                          "subcategory": str, "entities": [qids]}
+                                               -> {"id": new_news_id}
+  (tokenizes with the persisted preprocessing dictionaries, encodes through
+  the news tower, appends to the corpus cache — the id scores immediately)
 
 Request paths reuse the Recommender's fixed-shape jitted functions, so the
 daemon never recompiles after warm-up; JAX dispatch is thread-safe, so the
@@ -27,6 +32,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from pytorch_news_recommender_tpu.serve import Recommender
+
+# add_news mutates the Recommender's corpus tables; requests on the
+# threading server serialize their mutations here (reads are safe: each
+# request path captures a consistent table tuple at call time)
+_ADD_LOCK = threading.Lock()
 
 
 def _make_handler(rec: Recommender):
@@ -76,6 +86,16 @@ def _make_handler(rec: Recommender):
                         "ids": [int(i) for i in ids],
                         "scores": [float(s) for s in scores],
                     })
+                elif self.path == "/add_news":
+                    with _ADD_LOCK:
+                        nid = rec.add_news(
+                            req["title"],
+                            abstract=req.get("abstract", ""),
+                            category=req.get("category", ""),
+                            subcategory=req.get("subcategory", ""),
+                            entities=req.get("entities", ()),
+                        )
+                    self._reply(200, {"id": int(nid)})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except KeyError as e:

@@ -28,6 +28,7 @@ from pytorch_news_recommender_tpu.data.loader import (
     eval_batches,
     pad_batch,
     train_batches,
+    train_batches_sliced,
 )
 from pytorch_news_recommender_tpu.models import build_model
 from pytorch_news_recommender_tpu.parallel.mesh import (
@@ -111,6 +112,15 @@ class Trainer:
         self._score_fns: Dict[Any, Callable] = {}
         self._state_shardings = None
         self._length_split = self._make_length_split()
+        # Multi-process SPMD feed: every process holds the full dataset and
+        # computes the same shuffled permutation; each feeds only its slice
+        # of every global batch (loader.train_batches_sliced) and the slices
+        # are assembled with make_array_from_process_local_data. Activates
+        # automatically on a multi-process runtime; `sliced_feed` forces the
+        # same code path single-process (driver dryrun / tests).
+        self.n_proc = jax.process_count()
+        self.proc_idx = jax.process_index()
+        self._sliced = self.n_proc > 1 or cfg.train.sliced_feed
         # Build the optimizer ONCE: optax transforms are pytree *metadata*
         # of TrainState, so two init_state() calls with distinct tx objects
         # would produce states incompatible with already-jitted step fns.
@@ -204,6 +214,30 @@ class Trainer:
             else:
                 out[k] = self._repl
         return out
+
+    def _global_shardings(self, local_batch) -> Dict[str, Any]:
+        """Per-key shardings for a LOCAL batch slice whose global leading
+        size is ``local * process_count``. Every key must split evenly over
+        the data axis — a replicated fallback would be wrong here (each
+        process holds different rows)."""
+        n_data = self.mesh.shape[self.cfg.mesh.data_axis]
+        out = {}
+        for k, v in local_batch.items():
+            g = v.shape[0] * self.n_proc
+            if g % n_data != 0:
+                raise ValueError(
+                    f"batch key {k!r}: global rows {g} not divisible by "
+                    f"data-axis size {n_data} (multi-process feed needs "
+                    "evenly shardable batches)")
+            out[k] = self._batch_shard
+        return out
+
+    def _put_global(self, local_batch) -> Dict[str, jax.Array]:
+        """Assemble this process's batch slice into global jax.Arrays."""
+        from pytorch_news_recommender_tpu.parallel.distributed import (
+            global_batch,
+        )
+        return global_batch(local_batch, self._global_shardings(local_batch))
 
     def train_step_fn(self, batch) -> Callable:
         key = tuple(sorted(batch.keys()))
@@ -459,17 +493,37 @@ class Trainer:
             score = self.score_fn()
 
         from pytorch_news_recommender_tpu.data.prefetch import device_prefetch
+        from pytorch_news_recommender_tpu.parallel.distributed import (
+            fetch_global,
+        )
+
+        # Multi-process: every process iterates the SAME bucketed batch
+        # sequence (DevData is host-resident everywhere), feeds only its row
+        # slice of each padded batch, and reads back the full global score
+        # matrix (a cheap DCN all-gather of [bs, bucket] blocks) — so every
+        # process ends up with identical metrics, no separate reduction.
+        sliced = self._sliced
+        if sliced:
+            assert bs % self.n_proc == 0, (bs, self.n_proc)
+        per = bs // self.n_proc if sliced else bs
+        row0, row1 = self.proc_idx * per, (self.proc_idx + 1) * per
 
         def padded_batches():
             for eb in eval_batches(data, bs, self.cfg.data.eval_buckets,
                                    max_impressions):
                 padded, b = pad_batch(eb.batch, bs)
+                if sliced:
+                    padded = {k: v[row0:row1] for k, v in padded.items()}
                 yield dict(padded, _meta=(b, eb))
 
         def shard_for(batch):
             shards = self._batch_shardings(
                 {k: v for k, v in batch.items() if k != "_meta"})
             return shards
+
+        put_fn = None
+        if sliced:
+            put_fn = lambda hb: self._put_global(hb)
 
         # overlap host batch assembly + H2D with device scoring
         meta_q: list = []
@@ -479,13 +533,14 @@ class Trainer:
                 meta_q.append(hb.pop("_meta"))
                 yield hb
 
+        fetch = fetch_global if sliced else np.asarray
         all_scores: Dict[int, np.ndarray] = {}
-        for batch in device_prefetch(host_iter(), shard_for):
+        for batch in device_prefetch(host_iter(), shard_for, put_fn=put_fn):
             b, eb = meta_q.pop(0)
             if two_tower:
-                s = np.asarray(score_v(params, batch, news_vecs))[:b]
+                s = fetch(score_v(params, batch, news_vecs))[:b]
             else:
-                s = np.asarray(score(params, batch, self.news_feats))[:b]
+                s = fetch(score(params, batch, self.news_feats))[:b]
             for j, imp in enumerate(eb.impression_ids):
                 all_scores[int(imp)] = s[j, : eb.n_candidates[j]]
 
@@ -550,11 +605,22 @@ class Trainer:
         from pytorch_news_recommender_tpu.data.prefetch import device_prefetch
 
         for epoch in range(epochs):
-            host_iter = train_batches(self.dataset.train,
-                                      cfg.train.batch_size, shuffle_rng,
-                                      dedup=cfg.train.dedup_batches,
-                                      length_split=self._length_split)
-            for batch in device_prefetch(host_iter, self._batch_shardings):
+            if self._sliced:
+                # multi-process feed: this process's slice of each global
+                # batch, assembled into global arrays (see __init__ note)
+                host_iter = train_batches_sliced(
+                    self.dataset.train, cfg.train.batch_size, shuffle_rng,
+                    process_index=self.proc_idx, process_count=self.n_proc,
+                    dedup=cfg.train.dedup_batches)
+                batches = device_prefetch(host_iter, self._batch_shardings,
+                                          put_fn=self._put_global)
+            else:
+                host_iter = train_batches(self.dataset.train,
+                                          cfg.train.batch_size, shuffle_rng,
+                                          dedup=cfg.train.dedup_batches,
+                                          length_split=self._length_split)
+                batches = device_prefetch(host_iter, self._batch_shardings)
+            for batch in batches:
                 fn = self.train_step_fn(batch)
                 state, metrics = fn(state, batch, self.news_feats, rng)
                 step_i += 1

@@ -189,10 +189,105 @@ def test_roundtrip_and_determinism(mind_dirs, cfg, tmp_path):
                                   ds2.train.candidate_ids)
     np.testing.assert_array_equal(ds.word_embeddings, ds2.word_embeddings)
     assert ds2.meta.n_users == ds.meta.n_users
+    # preprocessing dictionaries round-trip (reference word_dict.csv /
+    # entity_ids_dict.pkl equivalents)
+    assert ds2.dicts is not None
+    assert ds2.dicts == ds.dicts
+    assert set(ds2.dicts) == {"word", "news", "category", "subcategory",
+                              "user", "entity"}
+    assert ds2.dicts["news"]["N1"] == 1
+    assert "game" in ds2.dicts["word"]
     # same seed -> identical sampling
     ds3 = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev")
     np.testing.assert_array_equal(ds.train.candidate_ids,
                                   ds3.train.candidate_ids)
+
+
+def _train_tiny(mind_dirs, cfg):
+    import dataclasses
+
+    from pytorch_news_recommender_tpu.config import synthetic_config
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev",
+                            glove_path=mind_dirs / "glove.txt",
+                            word_embed_size=4)
+    base = synthetic_config()
+    full = dataclasses.replace(
+        base,
+        data=dataclasses.replace(cfg, eval_buckets=(4, 8)),
+        model=dataclasses.replace(base.model, word_embed_size=4,
+                                  num_attention_heads=2, user_heads_num=2),
+        train=dataclasses.replace(base.train, batch_size=3,
+                                  eval_batch_size=2),
+    )
+    trainer = Trainer(full, ds)
+    state = trainer.init_state(seed=0)
+    return full, ds, state
+
+
+def test_fresh_news_ingestion(mind_dirs, cfg):
+    """A news item that was NOT in the corpus can be tokenized with the
+    persisted dictionaries, encoded, ingested, and scored (VERDICT r1 #3;
+    reference artifacts: word_dict.csv ``data_processor.py:186-188``)."""
+    from pytorch_news_recommender_tpu.serve import Recommender
+
+    full, ds, state = _train_tiny(mind_dirs, cfg)
+    rec = Recommender(full, ds, state.params, candidate_widths=(4, 8))
+
+    rows = rec.tokenize_new_news("Election game tonight 2024",
+                                 category="news", subcategory="politics",
+                                 entities=["Q2", "Q404"])
+    vocab = ds.dicts["word"]
+    # pipeline semantics: digit-stripped, in-vocab only
+    assert rows["title"][0] == vocab["election"]
+    assert rows["title"][1] == vocab["game"]
+    assert int(rows["categ"]) == ds.dicts["category"]["news"]
+    assert rows["entity"][0] == ds.dicts["entity"]["Q2"]  # Q404 unknown
+
+    vec = rec.encode_new_news("Election game tonight", category="news")
+    assert vec.ndim == 1 and np.all(np.isfinite(vec))
+
+    n_before = rec.n_news
+    nid = rec.add_news("Election game tonight", category="news",
+                       subcategory="politics")
+    assert nid == n_before and rec.n_news == n_before + 1
+    # the fresh id scores through both request paths immediately
+    s = rec.score([1, 2, 3], [nid, 1, 2])
+    assert s.shape == (3,) and np.all(np.isfinite(s))
+    ids, scores = rec.top_k([1, 2, 3], k=4)
+    assert np.all(ids < rec.n_news) and np.all(np.isfinite(scores))
+    # grown feature tables carry the tokenized row
+    np.testing.assert_array_equal(
+        np.asarray(rec.news_feats["title"][nid]), rows["title"])
+
+
+def test_fresh_news_http_roundtrip(mind_dirs, cfg):
+    import http.client
+    import json
+
+    from pytorch_news_recommender_tpu.serve import Recommender
+    from pytorch_news_recommender_tpu.server import RecommenderServer
+
+    full, ds, state = _train_tiny(mind_dirs, cfg)
+    rec = Recommender(full, ds, state.params, candidate_widths=(4, 8))
+    srv = RecommenderServer(rec, port=0)
+    srv.start(block=False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request("POST", "/add_news", body=json.dumps(
+            {"title": "Stocks rally again", "category": "finance",
+             "subcategory": "markets"}))
+        r = json.loads(conn.getresponse().read())
+        nid = r["id"]
+        assert nid == ds.news.n_news
+        conn.request("POST", "/score", body=json.dumps(
+            {"history": [1, 2, 3], "candidates": [nid, 1]}))
+        r = json.loads(conn.getresponse().read())
+        assert len(r["scores"]) == 2
+        assert all(np.isfinite(s) for s in r["scores"])
+    finally:
+        srv.stop()
 
 
 def test_coclick_graph(mind_dirs, cfg):
