@@ -20,6 +20,10 @@ this unchanged on a real multi-chip slice; the analytic traffic model is:
 
 Run: python benchmarks/sharded_lookup_bench.py [--ids 245760] [--mp 2]
      (CPU: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
+
+``--in-situ`` additionally times a FULL dedup NRMS train step per schedule
+(``ModelConfig.embedding_lookup = auto|psum|a2a`` through the real Trainer) —
+the lookup as it runs in training, not in isolation.
 """
 
 from __future__ import annotations
@@ -40,6 +44,10 @@ def main():
     ap.add_argument("--mp", type=int, default=2)
     ap.add_argument("--vocab", type=int, default=45800)
     ap.add_argument("--dim", type=int, default=300)
+    ap.add_argument("--in-situ", action="store_true", dest="in_situ",
+                    help="also time a full dedup train step per schedule")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="train batch size for --in-situ")
     args = ap.parse_args()
 
     import os
@@ -98,6 +106,51 @@ def main():
     print(f"auto (jit take, XLA collectives): {timeit(auto, table, ids):8.2f} ms")
     print(f"psum local-gather schedule:       {timeit(psum, table, ids):8.2f} ms")
     print(f"a2a dispatch schedule:            {timeit(a2a, table, ids):8.2f} ms")
+
+    if args.in_situ:
+        in_situ(mesh, args)
+
+
+def in_situ(mesh, args):
+    """Full dedup NRMS train step per embedding_lookup schedule."""
+    import dataclasses
+    import time
+
+    import jax
+
+    from pytorch_news_recommender_tpu.config import synthetic_config
+    from pytorch_news_recommender_tpu.data import synthetic
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    base = synthetic_config()
+    ds = synthetic.generate(base.data, seed=0, n_news=4096,
+                            vocab_size=args.vocab, n_train=4 * args.batch,
+                            n_dev=8)
+    batch = next(train_batches(ds.train, args.batch,
+                               np.random.default_rng(0), dedup=True))
+    print(f"\nin-situ dedup train step (batch {args.batch}):")
+    losses = {}
+    for sched in ("auto", "psum", "a2a"):
+        cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            embedding_lookup=sched))
+        tr = Trainer(cfg, ds, mesh=mesh)
+        state = tr.init_state(seed=0)
+        rng = jax.random.PRNGKey(0)
+        state, m = tr.run_step(state, batch, rng)   # compile
+        losses[sched] = float(m["loss"])
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            state, m = tr.run_step(state, batch, rng)
+        float(m["loss"])
+        ms = (time.perf_counter() - t0) / n * 1e3
+        print(f"  {sched:<5} {ms:8.2f} ms/step   first-step loss "
+              f"{losses[sched]:.5f}")
+    spread = max(losses.values()) - min(losses.values())
+    assert spread < 1e-5, f"schedules disagree: {losses}"
+    print(f"  schedules agree (loss spread {spread:.2e})")
 
 
 if __name__ == "__main__":

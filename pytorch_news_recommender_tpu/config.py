@@ -113,6 +113,22 @@ class ModelConfig:
     # reference ``config.py:30``). 0 disables the split for that feature.
     short_title_len: int = 12
     short_abst_len: int = 0
+    # Embedding-lookup schedule for the row-sharded word table when a model
+    # axis is active (BASELINE north star: "row-sharded ... with all-to-all
+    # gather for lookup"):
+    #   "auto" — jit path; XLA inserts the collectives for the sharded take
+    #   "psum" — hand schedule: local gather of owned rows + psum of partials
+    #            over the model axis (parallel/sharded_embedding.py)
+    #   "a2a"  — all-to-all dispatch: ids routed to their owner shard, rows
+    #            returned over a second all-to-all. Bucket overflow is NEVER
+    #            silent: the step's outputs are NaN-poisoned so a
+    #            too-small ``a2a_capacity_factor`` surfaces immediately
+    #            (pair with TrainConfig.skip_nonfinite_updates to skip, or
+    #            debug_nans to halt).
+    # All three produce identical forward values (tests/test_sharding.py);
+    # on a 1-wide model axis every schedule falls back to the plain lookup.
+    embedding_lookup: str = "auto"
+    a2a_capacity_factor: float = 2.0
     # numerics
     compute_dtype: str = "bfloat16"     # activations/matmul inputs
     param_dtype: str = "float32"        # parameters + accumulations

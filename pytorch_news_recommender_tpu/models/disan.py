@@ -141,7 +141,9 @@ class DiSANRec(RecModel):
         self.d_h = c.disan_hidden or c.word_embed_size
         self.word_embedding = WordEmbedding(
             c.n_words, c.word_embed_size, c.compute_dtype,
-            trainable=not c.freeze_word_embeddings)
+            trainable=not c.freeze_word_embeddings,
+            embedding_lookup=c.embedding_lookup,
+            a2a_capacity_factor=c.a2a_capacity_factor)
         self.disan = DiSANEncoder(self.d_h, c.dropout, c.compute_dtype)
         self.user_encoder = UserEncoder(
             model_dim=2 * self.d_h,

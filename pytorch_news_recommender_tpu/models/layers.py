@@ -67,6 +67,53 @@ def _masked_lookup_bwd(cd, res, g):
 _masked_lookup.defvjp(_masked_lookup_fwd, _masked_lookup_bwd)
 
 
+def _scheduled_lookup(table, ids, maskf, cd, schedule: str,
+                      capacity_factor: float):
+    """Route an embedding lookup through a hand-scheduled sharded path.
+
+    ``schedule`` is ``ModelConfig.embedding_lookup``; with "auto", no
+    registered mesh, or a 1-wide model axis this falls back to the plain
+    (custom-VJP) lookup. "psum" and "a2a" produce values identical to the
+    auto path (``tests/test_sharding.py``); a2a bucket overflow NaN-poisons
+    the output so it is never silent. A vocab not divisible by the model
+    axis is padded in-trace (one table copy — keep vocabularies divisible
+    in production)."""
+    from pytorch_news_recommender_tpu.parallel.sharded_embedding import (
+        active_mesh,
+        sharded_embedding_lookup,
+        sharded_embedding_lookup_a2a,
+    )
+    mesh = active_mesh()
+    if (schedule == "auto" or mesh is None
+            or mesh.shape.get("model", 1) <= 1):
+        if maskf is not None:
+            return _masked_lookup(table, ids, maskf, cd)
+        return jnp.take(table, ids, axis=0).astype(cd)
+    n_model = mesh.shape["model"]
+    pad = (-table.shape[0]) % n_model
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+    if schedule == "psum":
+        out = sharded_embedding_lookup(table, ids, mesh)
+    elif schedule == "a2a":
+        # masked lookups zero pad-id rows anyway, so id-0 slots skip the
+        # exchange entirely (they would otherwise all route to owner shard 0
+        # — a dedup unique buffer is zero-padded to its bucket width)
+        out, dropped = sharded_embedding_lookup_a2a(
+            table, ids, mesh, capacity_factor=capacity_factor,
+            skip_id=0 if maskf is not None else None)
+        # never-silent overflow: poison the batch instead of returning
+        # zero rows as if they were real embeddings
+        out = out + jnp.where(dropped == 0, 0.0, jnp.nan).astype(out.dtype)
+    else:
+        raise ValueError(
+            f"embedding_lookup must be auto|psum|a2a, got {schedule!r}")
+    out = out.astype(cd)
+    if maskf is not None:
+        out = out * maskf[..., None].astype(cd)
+    return out
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Self-attention with fused QKV projection and output projection."""
 
@@ -133,6 +180,10 @@ class WordEmbedding(nn.Module):
     compute_dtype: str = "float32"
     trainable: bool = True  # reference Embedding.from_pretrained(freeze=...)
                             # (nrms.py:121-123, nrms.py:222-224)
+    # hand-scheduled sharded lookup: "auto" | "psum" | "a2a"
+    # (ModelConfig.embedding_lookup; see layers._scheduled_lookup)
+    embedding_lookup: str = "auto"
+    a2a_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, ids: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -144,9 +195,10 @@ class WordEmbedding(nn.Module):
         if not self.trainable:
             table = jax.lax.stop_gradient(table)
         cd = _dtype(self.compute_dtype)
-        if mask is not None:
-            return _masked_lookup(table, ids, mask.astype(jnp.float32), cd)
-        return jnp.take(table, ids, axis=0).astype(cd)
+        maskf = mask.astype(jnp.float32) if mask is not None else None
+        return _scheduled_lookup(table, ids, maskf, cd,
+                                 self.embedding_lookup,
+                                 self.a2a_capacity_factor)
 
 
 class PadEmbedding(nn.Module):
@@ -265,6 +317,8 @@ class NewsEncoder(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     freeze_embeddings: bool = False
+    embedding_lookup: str = "auto"
+    a2a_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -272,6 +326,8 @@ class NewsEncoder(nn.Module):
         x = WordEmbedding(self.n_words, self.word_embed_size,
                           self.compute_dtype,
                           trainable=not self.freeze_embeddings,
+                          embedding_lookup=self.embedding_lookup,
+                          a2a_capacity_factor=self.a2a_capacity_factor,
                           name="word_embedding")(ids, mask)
         return AttentionPoolTower(
             model_dim=self.word_embed_size, num_heads=self.num_heads,

@@ -57,7 +57,9 @@ class NAML(RecModel):
         c = self.cfg
         self.word_embedding = WordEmbedding(
             c.n_words, c.word_embed_size, c.compute_dtype,
-            trainable=not c.freeze_word_embeddings)
+            trainable=not c.freeze_word_embeddings,
+            embedding_lookup=c.embedding_lookup,
+            a2a_capacity_factor=c.a2a_capacity_factor)
         # one tower shared by the title and abstract views
         self.text_tower = AttentionPoolTower(
             model_dim=c.word_embed_size,

@@ -80,7 +80,9 @@ class NPA(RecModel):
         self.news_query = nn.Dense(c.query_vector_dim, name="news_query")
         self.word_embedding = WordEmbedding(
             c.n_words, c.word_embed_size, c.compute_dtype,
-            trainable=not c.freeze_word_embeddings)
+            trainable=not c.freeze_word_embeddings,
+            embedding_lookup=c.embedding_lookup,
+            a2a_capacity_factor=c.a2a_capacity_factor)
         self.title_cnn = nn.Conv(
             c.num_filters, kernel_size=(c.kernel_size,), padding="SAME",
             dtype=jnp.dtype(c.compute_dtype), name="title_cnn")

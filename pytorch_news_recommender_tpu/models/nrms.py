@@ -37,6 +37,8 @@ class NRMS(RecModel):
     def setup(self):
         c = self.cfg
         self.news_encoder = NewsEncoder(
+            embedding_lookup=c.embedding_lookup,
+            a2a_capacity_factor=c.a2a_capacity_factor,
             n_words=c.n_words,
             word_embed_size=c.word_embed_size,
             num_heads=c.num_attention_heads,

@@ -47,6 +47,23 @@ except (ImportError, AttributeError):  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+# ---- active-mesh registry -------------------------------------------------
+# The explicit schedules need the device mesh, but flax modules are built
+# from ModelConfig alone. The Trainer registers its mesh here at
+# construction; ``layers.WordEmbedding`` resolves it at trace time. With no
+# registered mesh (serving, plain jit tests) every schedule falls back to
+# the auto path.
+_ACTIVE_MESH: list = [None]
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    _ACTIVE_MESH[0] = mesh
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH[0]
+
+
 def sharded_embedding_lookup(
     table: jax.Array,      # [V, D], rows sharded over `model_axis`
     ids: jax.Array,        # [...] int32, batch dims sharded over `data_axis`
@@ -89,11 +106,20 @@ def sharded_embedding_lookup_a2a(
     model_axis: str = "model",
     data_axis: str = "data",
     capacity_factor: float = 2.0,
+    skip_id: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """All-to-all dispatch lookup. Returns ``(out[..., D], dropped)`` where
     ``dropped`` is the global count of ids that overflowed their owner
     bucket (their output rows are zero). ``dropped == 0`` guarantees the
-    result equals ``jnp.take(table, ids, axis=0)`` exactly.
+    result equals ``jnp.take(table, ids, axis=0)`` exactly — except slots
+    equal to ``skip_id``, whose output rows are zero.
+
+    ``skip_id`` marks a pad id whose slots are treated like divisibility
+    pads: zero output, no bucket capacity consumed, never counted in
+    ``dropped``. Masked lookups (mask == 0 exactly where id == 0) MUST pass
+    ``skip_id=0``: dedup unique buffers are zero-padded to their bucket
+    width, and those slots would otherwise all route to owner shard 0 and
+    overflow its capacity no matter the factor.
 
     Schedule per device (data-row ``d``, model-peer ``m``):
       1. take the ``m``-th ``1/n_model`` slice of the row's ids;
@@ -149,6 +175,8 @@ def sharded_embedding_lookup_a2a(
         # real id — they never consume bucket capacity, are never counted
         # in `dropped`, and route to the trash column on dispatch.
         valid = (d * n_local + m * k + jnp.arange(k)) < n_total
+        if skip_id is not None:
+            valid &= sl != skip_id
         owner = jnp.where(valid, sl // rows, n_model)  # [k]; pads -> sentinel
         order = jnp.argsort(owner, stable=True)
         s_owner = owner[order]

@@ -101,6 +101,12 @@ class Trainer:
         self.model_cfg = cfg.model.with_artifact_meta(dataset.meta)
         self.model = build_model(self.model_cfg)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        # register the mesh for the hand-scheduled embedding lookups
+        # (ModelConfig.embedding_lookup psum|a2a; layers._scheduled_lookup)
+        from pytorch_news_recommender_tpu.parallel.sharded_embedding import (
+            set_active_mesh,
+        )
+        set_active_mesh(self.mesh)
         self._repl = replicated(self.mesh)
         self._batch_shard = batch_sharding(self.mesh, cfg.mesh)
         # Device-resident feature tables (uploaded once, replicated).

@@ -77,6 +77,55 @@ def test_data_parallel_matches_single_device(cfg, dataset):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_embedding_lookup_schedules_match_auto(cfg, dataset):
+    """A dedup train step on the dp4 x mp2 mesh with the hand-scheduled
+    psum / a2a embedding lookups must match the auto (XLA-collective) path:
+    identical loss (each row's value comes from exactly one shard, so the
+    psum adds exact zeros) and near-identical updated params (scatter-order
+    float addition in the backward)."""
+    import pytest
+
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+
+    mesh = make_mesh(MeshConfig(model_parallel_size=2))
+    batch = next(train_batches(dataset.train, 32, np.random.default_rng(2),
+                               dedup=True))
+    losses, params = {}, {}
+    for sched in ("auto", "psum", "a2a"):
+        c = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           embedding_lookup=sched))
+        tr = Trainer(c, dataset, mesh=mesh)
+        s = tr.init_state(seed=0)
+        s, m = tr.run_step(s, batch, jax.random.PRNGKey(1))
+        losses[sched] = float(m["loss"])
+        params[sched] = s.params
+    for sched in ("psum", "a2a"):
+        assert losses[sched] == pytest.approx(losses["auto"], abs=1e-6), (
+            sched, losses)
+        for a, b in zip(jax.tree_util.tree_leaves(params[sched]),
+                        jax.tree_util.tree_leaves(params["auto"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_a2a_schedule_overflow_poisons_not_silent(cfg, dataset):
+    """An undersized a2a capacity factor must surface as a non-finite loss
+    (NaN poison), never as silently-wrong embeddings."""
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+
+    mesh = make_mesh(MeshConfig(model_parallel_size=2))
+    c = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, embedding_lookup="a2a", a2a_capacity_factor=0.02))
+    tr = Trainer(c, dataset, mesh=mesh)
+    s = tr.init_state(seed=0)
+    batch = next(train_batches(dataset.train, 32, np.random.default_rng(2),
+                               dedup=True))
+    _, m = tr.run_step(s, batch, jax.random.PRNGKey(1))
+    assert not np.isfinite(float(m["loss"]))
+
+
 def test_sharded_step_with_length_split(cfg, dataset):
     """A deduplicated + length-partitioned batch must run (and stay finite)
     through the fully sharded train step on the dp x mp mesh."""
