@@ -78,6 +78,19 @@ def main():
     rng = jax.random.PRNGKey(0)
     log(f"devices: {jax.devices()}")
 
+    # Kernel correctness gate (driver-visible): compiled parity + dropout
+    # stats + finite-difference dropout-grad check. A dropout-replay
+    # regression in the backward kernel (the bug class fixed in e4b3eaa)
+    # fails the benchmark artifact itself, not just a hardware-gated test.
+    if jax.default_backend() != "cpu":
+        import pathlib as _pl
+        import sys as _sys
+        _sys.path.insert(0, str(_pl.Path(__file__).parent))
+        from benchmarks.tpu_checks import parity_and_dropout_checks
+        t0 = time.perf_counter()
+        parity_and_dropout_checks(log=log)
+        log(f"kernel checks passed ({time.perf_counter()-t0:.0f}s)")
+
     def force(state):
         """Device-side scalar slice of a param — reliably syncs the chain."""
         return float(jnp.sum(
@@ -111,14 +124,18 @@ def main():
         return ms, state
 
     # ---- ours: dedup + fused kernels ----
-    # single dedup bucket -> ONE compiled step variant (the remote compile
-    # server's latency is highly variable; every extra variant risks
-    # blowing the driver's time budget)
-    # This seed's dedup widths all fit 12288 (measured; the padded-width
-    # cost of a blanket 16384 bucket is ~30% step time).
+    # The SHIPPED default bucket ladder (loader.DEFAULT_UNIQUE_BUCKETS): the
+    # headline number measures the path users get, spilled buckets included.
+    # Only the widths this data actually produces compile (logged below);
+    # n_warm covers every distinct shape before timing, and the persistent
+    # compile cache absorbs the variants across runs.
     batches = list(train_batches(ds.train, BATCH, np.random.default_rng(0),
-                                 dedup=True, unique_buckets=(12288,),
+                                 dedup=True,
                                  length_split=trainer._length_split))
+    shapes = sorted({(b.get("unique_ids", b["browsed_ids"]).shape[0],
+                      b["short_mark"].shape[0] if "short_mark" in b else 0)
+                     for b in batches})
+    log(f"dedup batch shape variants (unique width, short width): {shapes}")
     state = trainer.init_state(seed=0)
     t0 = time.perf_counter()
 

@@ -116,6 +116,58 @@ def main():
           f"{q_bytes/2**20:.1f} MB vs {f_bytes/2**20:.1f} MB native; "
           f"recall@10 vs native {recall:.2f}", flush=True)
 
+    http_load(rec, hist, n)
+
+
+def http_load(rec, hist, n, n_requests: int = 96, concurrency: int = 12):
+    """Concurrent HTTP /score load through the daemon: p50/p99 latency and
+    aggregate throughput, with and without the micro-batching window."""
+    import http.client
+    import json
+    import threading
+
+    from pytorch_news_recommender_tpu.server import RecommenderServer
+
+    rng = np.random.default_rng(1)
+    cands = [list(map(int, rng.integers(1, n, size=12)))
+             for _ in range(n_requests)]
+
+    for window in (0.0, 5.0):
+        srv = RecommenderServer(rec, port=0, batch_window_ms=window)
+        srv.start(block=False)
+        lat: list = [None] * n_requests
+        sem = threading.Semaphore(concurrency)
+
+        def hit(i):
+            with sem:
+                t0 = time.perf_counter()
+                conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                                  timeout=60)
+                conn.request("POST", "/score", body=json.dumps(
+                    {"history": hist, "candidates": cands[i]}))
+                r = conn.getresponse()
+                assert r.status == 200, r.status
+                r.read()
+                lat[i] = time.perf_counter() - t0
+
+        try:
+            hit(0)  # warm any new (B, width) executables
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=hit, args=(i,))
+                       for i in range(n_requests)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            wall = time.perf_counter() - t0
+            ms = np.asarray([x * 1e3 for x in lat if x is not None])
+            print(f"HTTP /score load (window={window:g} ms, "
+                  f"{concurrency} conc): p50 {np.percentile(ms, 50):.1f} ms  "
+                  f"p99 {np.percentile(ms, 99):.1f} ms  "
+                  f"{len(ms)/wall:,.0f} req/s", flush=True)
+        finally:
+            srv.stop()
+
 
 if __name__ == "__main__":
     main()

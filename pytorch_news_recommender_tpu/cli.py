@@ -352,13 +352,19 @@ def cmd_serve(args) -> int:
 
     cfg = load_config(args.ckpt)
     ds = _load_dataset(args, cfg)
+    mesh = None
+    if args.mesh:
+        from pytorch_news_recommender_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh)
     rec = Recommender.from_checkpoint(args.ckpt, ds,
                                       corpus_cache=args.corpus_cache,
-                                      vectors_file=args.vectors)
-    srv = RecommenderServer(rec, host=args.host, port=args.port)
+                                      vectors_file=args.vectors,
+                                      mesh=mesh)
+    srv = RecommenderServer(rec, host=args.host, port=args.port,
+                            batch_window_ms=args.batch_window_ms)
     print(f"serving {cfg.model.name} ({ds.news.n_news} news) "
           f"on http://{args.host}:{srv.port} — GET /healthz, "
-          f"POST /score, POST /top_k")
+          f"POST /score, POST /top_k, POST /add_news")
     try:
         srv.start(block=True)
     except KeyboardInterrupt:
@@ -471,6 +477,14 @@ def main(argv=None) -> int:
     p.add_argument("--vectors", default=None,
                    help="precomputed corpus vectors from `export-vectors` "
                         "(skips the startup corpus encode)")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="micro-batching window for /score: wait up to this "
+                        "long after a request arrives to batch concurrent "
+                        "traffic into one device call (0 = off)")
+    p.add_argument("--mesh", action="store_true",
+                   help="row-shard the corpus vector cache over all devices "
+                        "(corpora larger than one chip's HBM); the top_k "
+                        "matmul shards with it")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export-vectors",

@@ -54,8 +54,11 @@ class Recommender:
         candidate_widths: Sequence[int] = (8, 16, 32, 64, 300),
         corpus_cache: str = "native",
         vectors_file: Optional[str] = None,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh  # shard the corpus cache over its devices (set
+        #                   AFTER the tables are built, below)
         self.model_cfg = cfg.model.with_artifact_meta(dataset.meta)
         self.model = build_model(self.model_cfg)
         if not getattr(self.model, "TWO_TOWER", True):
@@ -138,6 +141,26 @@ class Recommender:
         self.n_news = int(n)   # REAL news count; tables may be over-allocated
         self._topk_fn = jax.jit(self._topk_impl, static_argnums=(3,))
 
+        if mesh is not None:
+            # --mesh serve mode: row-shard the corpus cache over the mesh
+            # devices so corpora larger than one chip's HBM serve from the
+            # whole slice; XLA shards the top_k matmul over the rows and
+            # all-gathers only the [B, k] result. Lookup paths gather
+            # sharded rows via collectives (fine at request batch sizes).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            shard = NamedSharding(mesh, P(axis, None))
+
+            def put(t):
+                if t is None or t.shape[0] % mesh.shape[axis] != 0:
+                    return t  # uneven rows: leave replicated
+                return jax.device_put(t, shard)
+            if self.corpus_cache == "int8":
+                self.news_q = put(self.news_q)
+                self.news_scale = put(self.news_scale)
+            else:
+                self.news_vecs = put(self.news_vecs)
+
     def _tables(self) -> tuple:
         """The corpus cache as a jit-argument tuple (so table UPDATES from
         :meth:`add_news` flow into already-compiled request paths without
@@ -183,11 +206,7 @@ class Recommender:
                 return w
         return self.widths[-1]
 
-    def score(self, history: Sequence[int],
-              candidates: Sequence[int],
-              user_id: int = 0) -> np.ndarray:
-        """Scores for an explicit candidate list (any family)."""
-        w = self._width_for(len(candidates))
+    def _score_fn(self, w: int):
         if w not in self._score_fns:
             # Mirrors RecModel.score_from_vecs (models/common.py) with the
             # cache-mode lookup swapped in; keep the two in sync.
@@ -199,6 +218,13 @@ class Recommender:
                     self.news_feats, True,
                     method="score_impression")
             self._score_fns[w] = jax.jit(score_w)
+        return self._score_fns[w]
+
+    def score(self, history: Sequence[int],
+              candidates: Sequence[int],
+              user_id: int = 0) -> np.ndarray:
+        """Scores for an explicit candidate list (any family)."""
+        w = self._width_for(len(candidates))
         cand = np.zeros(w, np.int32)
         cand[:len(candidates)] = np.asarray(candidates[:w], np.int32)
         batch = {
@@ -207,8 +233,48 @@ class Recommender:
             "user_ids": jnp.asarray([user_id], jnp.int32),
         }
         s = np.asarray(
-            self._score_fns[w](self.params, batch, self._tables()))[0]
+            self._score_fn(w)(self.params, batch, self._tables()))[0]
         return s[:len(candidates)]
+
+    # request-batch sizes the batched path pads to (one compiled executable
+    # per (B, width) pair; the ladder keeps that set small)
+    BATCH_LADDER = (1, 2, 4, 8, 16, 32)
+
+    def score_many(
+        self,
+        requests: Sequence[tuple[Sequence[int], Sequence[int], int]],
+    ) -> list[np.ndarray]:
+        """Score many ``(history, candidates, user_id)`` requests with
+        batched jit calls: requests group by candidate-width bucket and the
+        request batch pads up the :data:`BATCH_LADDER`, so concurrent
+        traffic rides one MXU pass per group instead of one dispatch per
+        request (fed by the HTTP daemon's batching window)."""
+        out: list = [None] * len(requests)
+        groups: Dict[int, list] = {}
+        for i, (hist, cands, uid) in enumerate(requests):
+            groups.setdefault(self._width_for(len(cands)), []).append(i)
+        for w, idxs in groups.items():
+            n = len(idxs)
+            B = next((b for b in self.BATCH_LADDER if b >= n),
+                     -(-n // self.BATCH_LADDER[-1]) * self.BATCH_LADDER[-1])
+            browsed = np.zeros((B, self.H), np.int32)
+            cand = np.zeros((B, w), np.int32)
+            users = np.zeros(B, np.int32)
+            for j, i in enumerate(idxs):
+                hist, cands, uid = requests[i]
+                browsed[j] = self._pad_history(hist)
+                cand[j, :len(cands)] = np.asarray(cands[:w], np.int32)
+                users[j] = uid
+            batch = {
+                "browsed_ids": jnp.asarray(browsed),
+                "candidate_ids": jnp.asarray(cand),
+                "user_ids": jnp.asarray(users),
+            }
+            s = np.asarray(self._score_fn(w)(self.params, batch,
+                                             self._tables()))
+            for j, i in enumerate(idxs):
+                out[i] = s[j, :len(requests[i][1])]
+        return out
 
     def _topk_impl(self, params, batch, tables, k: int, n_real):
         # corpus-wide dot-product retrieval: user vector against every news

@@ -27,7 +27,9 @@ Start from the CLI: ``cli serve --data <artifacts> --ckpt <dir> --port 8000``.
 from __future__ import annotations
 
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -39,7 +41,74 @@ from pytorch_news_recommender_tpu.serve import Recommender
 _ADD_LOCK = threading.Lock()
 
 
-def _make_handler(rec: Recommender):
+class _ScoreBatcher:
+    """Micro-batching window for /score requests.
+
+    Handler threads enqueue ``(history, candidates, user_id)`` and block on
+    an event; a single worker drains the queue — waiting up to ``window_ms``
+    after the first request to let a batch form (max ``max_batch``) — and
+    answers the whole group with ONE ``Recommender.score_many`` call. Under
+    load this turns N dispatches into one MXU pass per width bucket; an
+    idle daemon still answers each request after at most one window.
+    """
+
+    def __init__(self, rec: Recommender, window_ms: float, max_batch: int):
+        self.rec = rec
+        self.window = window_ms / 1e3
+        self.max_batch = max_batch
+        self.q: queue.Queue = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, request, timeout: float = 30.0):
+        slot = {"evt": threading.Event()}
+        self.q.put((slot, request))
+        if not slot["evt"].wait(timeout):
+            raise TimeoutError("batched scoring timed out")
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _worker(self):
+        while not self._stop:
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.perf_counter() + self.window
+            while len(batch) < self.max_batch:
+                remain = deadline - time.perf_counter()
+                if remain <= 0:
+                    break
+                try:
+                    item = self.q.get(timeout=remain)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._stop = True
+                    break
+                batch.append(item)
+            try:
+                results = self.rec.score_many([r for _, r in batch])
+                for (slot, _), res in zip(batch, results):
+                    slot["result"] = res
+                    slot["evt"].set()
+            except Exception as e:  # noqa: BLE001 — surfaced per-request
+                for slot, _ in batch:
+                    slot["error"] = e
+                    slot["evt"].set()
+
+    def stop(self):
+        self._stop = True
+        self.q.put(None)
+        self._thread.join(timeout=5)
+
+
+def _make_handler(rec: Recommender, batcher: Optional[_ScoreBatcher] = None):
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; the daemon logs one JSONL line per request
         def log_message(self, fmt, *args):  # noqa: N802
@@ -73,11 +142,12 @@ def _make_handler(rec: Recommender):
                 return
             try:
                 if self.path == "/score":
-                    scores = rec.score(
-                        req.get("history", []),
-                        req["candidates"],
-                        user_id=int(req.get("user_id", 0)),
-                    )
+                    args = (req.get("history", []), req["candidates"],
+                            int(req.get("user_id", 0)))
+                    if batcher is not None:
+                        scores = batcher.submit(args)
+                    else:
+                        scores = rec.score(*args)
                     self._reply(200, {"scores": [float(s) for s in scores]})
                 elif self.path == "/top_k":
                     ids, scores = rec.top_k(
@@ -111,9 +181,13 @@ class RecommenderServer:
     first real request never waits on XLA compilation."""
 
     def __init__(self, rec: Recommender, host: str = "127.0.0.1",
-                 port: int = 8000):
+                 port: int = 8000, batch_window_ms: float = 0.0,
+                 max_batch: int = 32):
         self.rec = rec
-        self.httpd = ThreadingHTTPServer((host, port), _make_handler(rec))
+        self.batcher = (_ScoreBatcher(rec, batch_window_ms, max_batch)
+                        if batch_window_ms > 0 else None)
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(rec, self.batcher))
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
@@ -133,5 +207,7 @@ class RecommenderServer:
     def stop(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self.batcher is not None:
+            self.batcher.stop()
         if self._thread is not None:
             self._thread.join(timeout=5)

@@ -105,6 +105,131 @@ def test_http_server_roundtrip(served):
         srv.stop()
 
 
+def test_score_many_matches_single(served):
+    """The batched scoring path must match per-request scoring."""
+    _, ds, _, _, rec = served
+    reqs = []
+    rng = np.random.default_rng(7)
+    for i in range(11):
+        hist = [int(x) for x in rng.integers(1, 50, size=rng.integers(1, 8))]
+        cands = [int(x) for x in rng.integers(1, 50,
+                                              size=rng.integers(2, 12))]
+        reqs.append((hist, cands, 0))
+    outs = rec.score_many(reqs)
+    for (hist, cands, uid), got in zip(reqs, outs):
+        np.testing.assert_allclose(got, rec.score(hist, cands, uid),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_http_concurrent_load(served):
+    """16 threads hammering /score and /top_k concurrently: every request
+    succeeds and matches the direct API (ThreadingHTTPServer + thread-safe
+    JAX dispatch)."""
+    import http.client
+    import json
+    import threading
+
+    from pytorch_news_recommender_tpu.server import RecommenderServer
+
+    cfg, ds, trainer, state, rec = served
+    srv = RecommenderServer(rec, port=0)
+    srv.start(block=False)
+    results = [None] * 16
+    expect_score = rec.score([1, 2, 3], [4, 5, 6])
+    expect_ids, _ = rec.top_k([1, 2, 3], k=5)
+
+    def hit(i):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=60)
+            if i % 2 == 0:
+                conn.request("POST", "/score", body=json.dumps(
+                    {"history": [1, 2, 3], "candidates": [4, 5, 6]}))
+                r = conn.getresponse()
+                assert r.status == 200
+                scores = json.loads(r.read())["scores"]
+                np.testing.assert_allclose(scores, expect_score, rtol=1e-4)
+            else:
+                conn.request("POST", "/top_k", body=json.dumps(
+                    {"history": [1, 2, 3], "k": 5}))
+                r = conn.getresponse()
+                assert r.status == 200
+                ids = json.loads(r.read())["ids"]
+                assert ids == [int(x) for x in expect_ids]
+            results[i] = "ok"
+        except Exception as e:  # noqa: BLE001
+            results[i] = e
+
+    try:
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r == "ok" for r in results), results
+    finally:
+        srv.stop()
+
+
+def test_http_batching_window(served):
+    """With a batching window, concurrent /score requests are answered from
+    grouped score_many calls and still match the direct API."""
+    import http.client
+    import json
+    import threading
+
+    from pytorch_news_recommender_tpu.server import RecommenderServer
+
+    cfg, ds, trainer, state, rec = served
+    srv = RecommenderServer(rec, port=0, batch_window_ms=10.0)
+    srv.start(block=False)
+    expect = rec.score([1, 2, 3], [4, 5, 6])
+    results = [None] * 12
+
+    def hit(i):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=60)
+            conn.request("POST", "/score", body=json.dumps(
+                {"history": [1, 2, 3], "candidates": [4, 5, 6]}))
+            r = conn.getresponse()
+            assert r.status == 200, r.status
+            np.testing.assert_allclose(json.loads(r.read())["scores"],
+                                       expect, rtol=1e-4)
+            results[i] = "ok"
+        except Exception as e:  # noqa: BLE001
+            results[i] = e
+
+    try:
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r == "ok" for r in results), results
+    finally:
+        srv.stop()
+
+
+def test_mesh_serve_mode(served):
+    """--mesh serving: the corpus cache row-shards over the 8-device mesh
+    and every request path matches the single-device answers."""
+    from pytorch_news_recommender_tpu.config import MeshConfig
+    from pytorch_news_recommender_tpu.parallel.mesh import make_mesh
+
+    cfg, ds, trainer, state, rec = served
+    mesh = make_mesh(MeshConfig())
+    rec_m = Recommender(cfg, ds, state.params, mesh=mesh)
+    hist = [int(x) for x in ds.dev.browsed_ids[0] if x]
+    np.testing.assert_allclose(rec_m.score(hist, [1, 2, 3, 4]),
+                               rec.score(hist, [1, 2, 3, 4]),
+                               rtol=1e-4, atol=1e-5)
+    ids_a, _ = rec.top_k(hist, k=10)
+    ids_b, _ = rec_m.top_k(hist, k=10)
+    assert [int(i) for i in ids_a] == [int(i) for i in ids_b]
+
+
 def test_int8_corpus_cache_matches_native(served):
     """Per-row int8 quantization of the corpus table must preserve scores to
     ~1% and corpus-wide ranking almost exactly."""

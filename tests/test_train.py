@@ -164,11 +164,17 @@ def test_grad_accumulation_matches_big_batch():
     cfg = synthetic_config()
     ds = synthetic.generate(cfg.data, seed=2, n_train=128, n_dev=8)
 
+    # dropout OFF on both paths: with rate 0 the apply is deterministic, so
+    # 2 accumulated micro-grads (optax.MultiSteps mean) must equal the
+    # batch-2B grad near-exactly — a wrong accumulation cannot hide behind
+    # dropout noise (VERDICT r1 weak #6).
     d = cfg.to_dict()
+    d["model"]["dropout"] = 0.0
     d["train"]["grad_accum_steps"] = 2
     d["train"]["batch_size"] = 16
     t_acc = Trainer(Config.from_dict(d), ds)
     d2 = cfg.to_dict()
+    d2["model"]["dropout"] = 0.0
     d2["train"]["batch_size"] = 32
     t_big = Trainer(Config.from_dict(d2), ds)
 
@@ -177,10 +183,6 @@ def test_grad_accumulation_matches_big_batch():
     big = next(train_batches(ds.train, 32, None))
     half1 = {k: v[:16] for k, v in big.items()}
     half2 = {k: v[16:] for k, v in big.items()}
-    # identical dropout stream across the two paths: deterministic rng and
-    # both models in eval... instead disable dropout via deterministic
-    # apply is baked in; use a fixed rng and accept dropout noise by
-    # comparing against tolerance after ONE update each
     import numpy as np
     rng = jax.random.PRNGKey(0)
     # snapshot BEFORE the first step: run_step donates the state buffers
@@ -194,9 +196,10 @@ def test_grad_accumulation_matches_big_batch():
 
     p_acc = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_acc.params)]
     p_big = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_big.params)]
-    deltas = [float(np.max(np.abs(a - b))) for a, b in zip(p_acc, p_big)]
-    # dropout streams differ (different step counters fold into the rng),
-    # so require qualitative agreement: both moved, and in a similar range
-    assert max(deltas) < 5e-2, max(deltas)
     moved = [float(np.max(np.abs(a - b))) for a, b in zip(p_acc, p0)]
-    assert max(moved) > 0, "accumulated update was never applied"
+    assert max(moved) > 1e-5, "accumulated update was never applied"
+    # rtol 1e-3 on lr-scale updates: loose enough for float reduction-order
+    # noise amplified by Adam's g/sqrt(v) normalization, 50x tighter than a
+    # sum-vs-mean accumulation bug (factor 2) or a dropped micro-grad
+    for a, b in zip(p_acc, p_big):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-6)
