@@ -1,13 +1,17 @@
 """End-to-end training run on the attached accelerator at MIND scale.
 
 Exercises the WHOLE loop on hardware — fit (jitted donated steps, device
-prefetch), periodic two-tower eval, best-AUC checkpointing — on the
+prefetch), periodic two-tower eval, REAL Orbax best-AUC checkpoint retention
+(save on improvement, max_to_keep pruning, best-step restore) — on the
 planted-structure synthetic dataset at reference dimensions (50k news, vocab
-45,800, GloVe-300 dims, batch 512). This is the hardware counterpart of the
-CPU quality sweep: AUC must clear ~0.8 on planted data, and the epoch
-wall-clock validates the step-rate numbers from bench.py end to end.
+45,800, GloVe-300 dims, batch 512, MIND-like variable title lengths so the
+dedup widths and length-split short widths churn across batches). This is
+the hardware counterpart of the CPU quality sweep and the closest available
+proxy to the blocked MIND-parity run: AUC must clear ~0.8 on planted data,
+the AUC trajectory is reported at every eval point, and per-step wall times
+validate bench.py's marginal rate end to end (p50/p95 step stability).
 
-Run: python benchmarks/tpu_train_e2e.py [--epochs 2] [--n-train 65536]
+Run: python benchmarks/tpu_train_e2e.py [--epochs 2] [--n-train 131072]
 Prints one JSON summary line.
 """
 
@@ -17,6 +21,7 @@ import argparse
 import json
 import pathlib
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -27,9 +32,13 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--n-train", type=int, default=65536)
-    ap.add_argument("--n-dev", type=int, default=2048)
+    ap.add_argument("--n-train", type=int, default=131072)
+    ap.add_argument("--n-dev", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--eval-step", type=int, default=64,
+                    help="eval every N steps (0 = epoch ends only)")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="Orbax checkpoint dir (default: temp dir)")
     args = ap.parse_args()
 
     import jax
@@ -38,6 +47,7 @@ def main():
         Config, DataConfig, ModelConfig, TrainConfig,
     )
     from pytorch_news_recommender_tpu.data import synthetic
+    from pytorch_news_recommender_tpu.train.checkpoint import CheckpointManager
     from pytorch_news_recommender_tpu.train.loop import Trainer
     from pytorch_news_recommender_tpu.utils.compile_cache import enable
 
@@ -51,8 +61,8 @@ def main():
             query_vector_dim=200, compute_dtype="bfloat16", use_pallas=True,
         ),
         train=TrainConfig(batch_size=args.batch, eval_batch_size=256,
-                          eval_step=0, learning_rate=1e-3,
-                          auc_checkpoint_floor=0.56),
+                          eval_step=args.eval_step, log_every=16,
+                          learning_rate=1e-3, auc_checkpoint_floor=0.56),
     )
     ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
                             n_train=args.n_train, n_dev=args.n_dev,
@@ -66,13 +76,22 @@ def main():
     print(f"eval before training: auc={before['auc']:.3f} "
           f"({t_eval0:.1f}s incl. compile)", file=sys.stderr, flush=True)
 
-    ckpts = []
+    ckpt_dir = args.ckpt_dir or tempfile.mkdtemp(prefix="e2e_ckpt_")
+    mngr = CheckpointManager(ckpt_dir, cfg, max_to_keep=3)
+    saved = []
+
+    def on_improve(s, m, step):
+        mngr.save(step, s, m)
+        saved.append((step, round(m["auc"], 4)))
+        print(f"  ckpt @{step}: auc={m['auc']:.4f}", file=sys.stderr,
+              flush=True)
+
     history_log = []
     t0 = time.perf_counter()
     state, history = trainer.fit(
         state, num_epochs=args.epochs,
         log_fn=history_log.append,
-        checkpoint_cb=lambda s, m, step: ckpts.append((step, m["auc"])),
+        checkpoint_cb=on_improve,
     )
     t_fit = time.perf_counter() - t0
 
@@ -80,20 +99,51 @@ def main():
     after = trainer.evaluate(state)
     t_eval = time.perf_counter() - t0
 
+    # AUC trajectory from every eval point the fit loop hit
+    trajectory = [(h["step"], round(h["auc"], 4))
+                  for h in history if "auc" in h]
+
+    # Step-time stability from the periodic loss logs: marginal ms/step
+    # between consecutive log lines WITHIN an epoch segment (eval points
+    # and compiles sit between segments and are excluded by the p50/p95).
+    step_logs = [h for h in history_log if "elapsed_s" in h]
+    step_ms = []
+    for a, b in zip(step_logs, step_logs[1:]):
+        dsteps = b["step"] - a["step"]
+        if dsteps > 0:
+            step_ms.append((b["elapsed_s"] - a["elapsed_s"]) / dsteps * 1e3)
+    step_ms = np.asarray(step_ms) if step_ms else np.asarray([0.0])
+
+    # checkpoint retention + exact best-step restore round-trip
+    assert mngr.best_step() == max(saved, key=lambda t: t[1])[0], (
+        mngr.best_step(), saved)
+    kept = sorted(int(p.name) for p in pathlib.Path(ckpt_dir).iterdir()
+                  if p.name.isdigit())
+    restored = mngr.restore(trainer.init_state(seed=1))
+    m_best = trainer.evaluate(restored)
+    mngr.close()
+
     steps = args.epochs * (args.n_train // args.batch)
     out = {
         "auc_before": round(before["auc"], 4),
         "auc_after": round(after["auc"], 4),
         "ndcg10_after": round(after["ndcg@10"], 4),
+        "auc_trajectory": trajectory,
         "epochs": args.epochs,
         "steps": steps,
         "fit_wall_s": round(t_fit, 1),
         "examples_per_sec_incl_evals": round(steps * args.batch / t_fit, 1),
+        "step_ms_p50": round(float(np.percentile(step_ms, 50)), 2),
+        "step_ms_p95": round(float(np.percentile(step_ms, 95)), 2),
         "eval_wall_s": round(t_eval, 1),
-        "n_checkpoint_improvements": len(ckpts),
+        "n_checkpoint_improvements": len(saved),
+        "ckpts_kept": kept,
+        "best_ckpt_auc_on_restore": round(m_best["auc"], 4),
     }
     print(json.dumps(out), flush=True)
     assert after["auc"] > 0.75, out
+    assert len(kept) <= 3, kept
+    assert m_best["auc"] >= max(a for _, a in saved) - 1e-3, (m_best, saved)
 
 
 if __name__ == "__main__":
