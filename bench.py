@@ -132,9 +132,10 @@ def main():
     batches = list(train_batches(ds.train, BATCH, np.random.default_rng(0),
                                  dedup=True,
                                  length_split=trainer._length_split))
-    shapes = sorted({(b.get("unique_ids", b["browsed_ids"]).shape[0],
-                      b["short_mark"].shape[0] if "short_mark" in b else 0)
-                     for b in batches})
+    shapes = sorted({
+        (b["unique_ids"].shape[0] if "unique_ids" in b else -1,  # -1 = direct
+         b["short_mark"].shape[0] if "short_mark" in b else 0)
+        for b in batches})
     log(f"dedup batch shape variants (unique width, short width): {shapes}")
     state = trainer.init_state(seed=0)
     t0 = time.perf_counter()
