@@ -395,6 +395,14 @@ class Recommender:
                 pad = np.zeros((self.GROW_BLOCK,) + table.shape[1:],
                                np.asarray(table).dtype)
                 table = jnp.concatenate([table, jnp.asarray(pad)], axis=0)
+                if self.mesh is not None:
+                    # --mesh mode: re-apply the row sharding after a block
+                    # reallocation so the corpus cache stays distributed
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    axis = self.mesh.axis_names[0]
+                    if table.shape[0] % self.mesh.shape[axis] == 0:
+                        table = jax.device_put(
+                            table, NamedSharding(self.mesh, P(axis, None)))
             return table.at[nid].set(row)
 
         if self.corpus_cache == "int8":
