@@ -152,6 +152,29 @@ def _to_ids(text: str, vocab: Dict[str, int], length: int) -> List[int]:
     return ids + [0] * (length - len(ids))
 
 
+def ids_matrix(texts: Sequence[str], vocab: Dict[str, int], length: int,
+               native_mod=None) -> np.ndarray:
+    """``[1 + n, length]`` word-id rows (row 0 = pad) for a text list.
+
+    Uses the C++ ASCII fast path when available (``native.tokenize_ids``);
+    rows it flags (non-ASCII text, where Python's unicode ``\\w``/``lower``
+    may differ from the byte rules) are redone with :func:`_to_ids`, so the
+    combined result is bit-identical to the pure-Python loop
+    (``tests/test_native.py``)."""
+    out = np.zeros((len(texts) + 1, length), np.int32)
+    nat = (native_mod.tokenize_ids(list(texts), vocab, length)
+           if native_mod is not None else None)
+    if nat is not None:
+        ids, fallback = nat
+        out[1:] = ids
+        for i in np.nonzero(fallback)[0]:
+            out[i + 1] = _to_ids(texts[i], vocab, length)
+    else:
+        for i, t in enumerate(texts):
+            out[i + 1] = _to_ids(t, vocab, length)
+    return out
+
+
 def _index_dict(values: Iterable[str]) -> Dict[str, int]:
     out: Dict[str, int] = {}
     for v in values:
@@ -394,15 +417,19 @@ def build_dataset(
     cat_dict = _index_dict(news.category)
     subcat_dict = _index_dict(news.subcategory)
 
+    native_mod = None
+    if use_native:
+        from pytorch_news_recommender_tpu import native as native_mod_
+        if native_mod_.available():
+            native_mod = native_mod_
+
     N = len(news) + 1
     L_t, L_a = cfg.n_words_title, cfg.n_words_abst
-    title = np.zeros((N, L_t), np.int32)
-    abst = np.zeros((N, L_a), np.int32)
+    title = ids_matrix(news.title, vocab, L_t, native_mod)
+    abst = ids_matrix(news.abstract, vocab, L_a, native_mod)
     categ = np.zeros(N, np.int32)
     subcateg = np.zeros(N, np.int32)
     for i in range(1, N):
-        title[i] = _to_ids(news.title[i - 1], vocab, L_t)
-        abst[i] = _to_ids(news.abstract[i - 1], vocab, L_a)
         categ[i] = cat_dict.get(news.category[i - 1], 0)
         subcateg[i] = subcat_dict.get(news.subcategory[i - 1], 0)
 
@@ -435,12 +462,6 @@ def build_dataset(
                               word_embed_size, seed)
 
     user_index = collect_users([d / "behaviors.tsv" for d in dirs])
-
-    native_mod = None
-    if use_native:
-        from pytorch_news_recommender_tpu import native as native_mod_
-        if native_mod_.available():
-            native_mod = native_mod_
 
     def _train(path):
         if native_mod is not None:

@@ -76,6 +76,11 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, ctypes.c_int64, i32p, ctypes.c_int64,
         i32p, ctypes.c_int64, i32p, i32p,
     ]
+    lib.mind_tokenize_ids.restype = ctypes.c_int64
+    lib.mind_tokenize_ids.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int32,
+        i32p, ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return lib
 
@@ -171,6 +176,44 @@ def build_eval_split(
         _take(lib, cand_p, (L,), np.int32),
         _take(lib, label_p, (L,), np.int8),
     )
+
+
+def tokenize_ids(
+    texts: "list[str]",
+    vocab: Dict[str, int],
+    length: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native word-id conversion (reference tokenization semantics:
+    lowercase + digit-strip + ``\\w+`` + in-vocab; see ``data/mind.py``).
+
+    Returns ``(ids[n, length] int32, fallback[n] uint8)`` where flagged
+    rows (non-ASCII text — Python's unicode ``\\w``/``lower`` may differ)
+    MUST be redone by the caller with the Python path; the combined result
+    is bit-identical to the pure-Python loop. Returns None when the native
+    library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(texts)
+    ids = np.zeros((max(n, 1), length), np.int32)
+    fallback = np.zeros(max(n, 1), np.uint8)
+    if n == 0:
+        return ids[:0], fallback[:0]
+    # '\n' join is semantically neutral (a non-word separator like ' '),
+    # but a text CONTAINING '\n' would desync rows — impossible for
+    # TSV-parsed fields, guarded anyway.
+    if any("\n" in t for t in texts):
+        return None
+    blob = "\n".join(texts).encode("utf-8")
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.mind_tokenize_ids(
+        blob, n, _index_blob(vocab), length,
+        ids.ctypes.data_as(i32p),
+        fallback.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != n:
+        return None
+    return ids, fallback
 
 
 def batch_dedup(

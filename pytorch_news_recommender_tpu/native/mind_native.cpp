@@ -316,4 +316,85 @@ int64_t mind_batch_dedup(const int32_t* browsed, int64_t nb,
   return u;
 }
 
+// ---- tokenizer fast path ----
+//
+// Word-id conversion for the news table (the per-news Python loop in
+// data/mind.py::build_dataset — reference semantics at
+// /root/reference/MIND_2020/data_processor.py:151-219: lowercase, DELETE
+// digit characters, \w+ tokens, keep in-vocab words, truncate+pad).
+//
+// ASCII-exact contract: for pure-ASCII text, Python's str.lower() is
+// tolower, digit deletion is byte deletion, and regex \w is [a-zA-Z0-9_]
+// (digits already deleted, and deletion does NOT break a token: "ab1cd"
+// tokenizes as "abcd" on both paths). Any text containing a byte >= 0x80
+// is NOT processed here — its row index is flagged in fallback_out and the
+// Python caller redoes it with the reference-exact unicode path, so the
+// combined result is bit-identical by construction.
+//
+// texts_blob: '\n'-joined texts (one per row; '\n' and ' ' are both
+// non-word separators so the join character is semantically neutral).
+// vocab_blob: '\n'-joined words, line i -> word id i+1 (see
+// __init__.py::_index_blob). ids_out: [n_texts, length] int32, 0-padded.
+// fallback_out: [n_texts] uint8, 1 = redo this row in Python.
+// Returns n_texts, or -1 on bad arguments.
+int64_t mind_tokenize_ids(const char* texts_blob, int64_t n_texts,
+                          const char* vocab_blob, int32_t length,
+                          int32_t* ids_out, uint8_t* fallback_out) {
+  if (!texts_blob || !vocab_blob || length <= 0 || !ids_out || !fallback_out)
+    return -1;
+  auto vocab = parse_index_blob(vocab_blob);
+  const char* p = texts_blob;
+  std::string token;
+  token.reserve(64);
+  for (int64_t row = 0; row < n_texts; ++row) {
+    const char* e = strchr(p, '\n');
+    std::string_view text(p, e ? static_cast<size_t>(e - p) : strlen(p));
+    int32_t* out = ids_out + row * length;
+    for (int32_t j = 0; j < length; ++j) out[j] = 0;
+    fallback_out[row] = 0;
+
+    bool ascii = true;
+    for (unsigned char c : text)
+      if (c >= 0x80) { ascii = false; break; }
+    if (!ascii) {
+      fallback_out[row] = 1;
+    } else {
+      int32_t n_ids = 0;
+      token.clear();
+      auto flush = [&]() {
+        if (!token.empty() && n_ids < length) {
+          auto it = vocab.find(token);
+          if (it != vocab.end()) out[n_ids++] = it->second;
+        }
+        token.clear();
+      };
+      for (unsigned char c : text) {
+        if (c >= '0' && c <= '9') continue;  // deleted, does not break token
+        unsigned char lc =
+            (c >= 'A' && c <= 'Z') ? static_cast<unsigned char>(c + 32) : c;
+        bool word = (lc >= 'a' && lc <= 'z') || lc == '_';
+        if (word) {
+          token.push_back(static_cast<char>(lc));
+        } else {
+          flush();
+          // early exit once the row is full: remaining tokens are
+          // truncated on the Python path too
+          if (n_ids >= length) break;
+        }
+      }
+      flush();
+    }
+    if (!e) {
+      // blob ended early: remaining rows (if any) fall back
+      for (int64_t r = row + 1; r < n_texts; ++r) {
+        fallback_out[r] = 1;
+        for (int32_t j = 0; j < length; ++j) ids_out[r * length + j] = 0;
+      }
+      return n_texts;
+    }
+    p = e + 1;
+  }
+  return n_texts;
+}
+
 }  // extern "C"

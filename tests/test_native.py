@@ -124,3 +124,48 @@ def test_dedup_batch_native_matches_numpy(monkeypatch):
     assert sorted(with_native) == sorted(without)
     for k in with_native:
         np.testing.assert_array_equal(with_native[k], without[k])
+
+
+def test_tokenize_ids_bit_identical():
+    """The C++ ASCII tokenizer + Python fallback must reproduce the Python
+    id-conversion exactly: lowercase, digit DELETION (joining the flanks:
+    'ab1cd' -> 'abcd'), \\w+ tokens, in-vocab filter, truncate+pad."""
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    from pytorch_news_recommender_tpu.data import mind
+
+    vocab = {"covid": 1, "vaccine": 2, "abcd": 3, "team": 4, "big_win": 5,
+             "ole": 6, "game": 7}
+    texts = [
+        "Covid19 vaccine rollout 2020",      # digit-stripped alnum tokens
+        "ab1cd plays 99 the game",           # digits join flanks
+        "Team BIG_WIN again, team!",         # underscore word char, repeats
+        "",                                  # empty
+        "12345",                             # digits only
+        "sølvgutten Ole",               # non-ASCII -> fallback row
+        "team " * 40,                        # truncation past length
+    ]
+    for length in (4, 20):
+        got = mind.ids_matrix(texts, vocab, length, native_mod=native)
+        expect = np.zeros((len(texts) + 1, length), np.int32)
+        for i, t in enumerate(texts):
+            expect[i + 1] = mind._to_ids(t, vocab, length)
+        np.testing.assert_array_equal(got, expect)
+
+    # the native call flags exactly the non-ASCII row for fallback
+    ids, fb = native.tokenize_ids(texts, vocab, 8)
+    assert list(np.nonzero(fb)[0]) == [5]
+
+
+def test_build_dataset_tokenizes_native(fixture_dirs, cfg):
+    """build_dataset's title/abstract matrices are identical with and
+    without the native tokenizer (same fixture as the other parity tests)."""
+    from pytorch_news_recommender_tpu.data import mind
+
+    a = mind.build_dataset(cfg, fixture_dirs / "train",
+                           fixture_dirs / "dev", use_native=True)
+    b = mind.build_dataset(cfg, fixture_dirs / "train",
+                           fixture_dirs / "dev", use_native=False)
+    np.testing.assert_array_equal(a.news.title, b.news.title)
+    np.testing.assert_array_equal(a.news.abst, b.news.abst)
