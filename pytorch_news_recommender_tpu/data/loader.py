@@ -56,20 +56,25 @@ class LengthSplit:
 
 
 def _length_partition(unique_ids: np.ndarray, u: int, width: int,
-                      split: LengthSplit):
+                      split: LengthSplit,
+                      short_width: Optional[int] = None):
     """Partition the ``u`` real unique ids inside a ``width``-slot buffer
     into [short block | long block]; returns ``(buf, newpos, short_width)``.
 
     The short block occupies ``[0, short_width)`` (real shorts first, then
     pad slots — padding is encoded at the cheap truncated length); the long
     block ``[short_width, width)`` holds everything full-length. ``newpos``
-    remaps old unique positions -> new positions for the inverse indices."""
+    remaps old unique positions -> new positions for the inverse indices.
+    ``short_width`` may be forced (the multi-process feed agrees one width
+    across processes); shorts past its capacity spill to the long block
+    (exact — they are merely encoded at full length)."""
     uniq = unique_ids[:u]
     short = split.is_short(uniq)
     n_s = int(short.sum())
     n_l = u - n_s
     G = split.grid
-    short_width = max(0, (width - n_l) // G * G)
+    if short_width is None:
+        short_width = max(0, (width - n_l) // G * G)
     k_keep = min(n_s, short_width)
     order = np.argsort(~short, kind="stable")  # shorts first, stable
     buf = np.zeros(width, unique_ids.dtype)
@@ -204,6 +209,7 @@ def train_batches_sliced(
     drop_remainder: bool = True,
     dedup: bool = False,
     unique_buckets: Sequence[int] = DEFAULT_UNIQUE_BUCKETS,
+    length_split: Optional[LengthSplit] = None,
 ) -> Iterator[Batch]:
     """Per-process slices of globally-agreed training batches (the
     multi-process SPMD feed — SURVEY.md §2.3 "per-host input feeding").
@@ -223,8 +229,18 @@ def train_batches_sliced(
     process's inverse indices are offset by ``process_index * W``, so the
     jitted gather works on global offsets unchanged. Direct form is chosen
     globally: all processes compare the same ``W`` against the same local
-    slot count. (Length-split partitioning is a single-process optimization —
-    per-process short widths would disagree — so it is not applied here.)
+    slot count.
+
+    With ``length_split``, every process also agrees one short width (the
+    MINIMUM of the natural per-process widths, each computable by every
+    process from the shared permutation) and partitions ITS OWN block
+    shorts-first at that width. The batch then carries ``short_mark``
+    (global shape ``[process_count * ws]``) and, beyond one process,
+    ``block_mark`` (``[process_count]``) so the model can run the
+    length-bucketed encode per block (``RecModel.resolve_batch``); both
+    markers are replicated (every process materializes the full zeros
+    array). Shorts past a block's agreed capacity spill to its long block
+    — encoded at full length, still exact.
     """
     n = len(data)
     assert batch_size % process_count == 0, (batch_size, process_count)
@@ -254,14 +270,37 @@ def train_batches_sliced(
             yield batch  # globally-agreed direct form
             continue
         u, uniq_buf, browsed_idx, candidate_idx = deds[process_index]
-        unique_ids = np.zeros(width, np.int32)
-        unique_ids[:min(u, width)] = uniq_buf[:u][:width]
+        ws = 0
+        if length_split is not None and length_split.thresholds:
+            # globally-agreed short width: min over every process's natural
+            # width (all computable from the shared permutation)
+            G = length_split.grid
+            nat = []
+            for u_h, uniq_h, _, _ in deds:
+                n_long = int(u_h - length_split.is_short(
+                    np.asarray(uniq_h[:u_h], np.int32)).sum())
+                nat.append(max(0, (width - n_long) // G * G))
+            ws = min(min(nat), width - G)  # keep a non-empty long block
+            ws = max(ws, 0)
+        if ws > 0:
+            unique_ids, newpos, _ = _length_partition(
+                np.asarray(uniq_buf, np.int32), u, width, length_split,
+                short_width=ws)
+            browsed_idx = newpos[browsed_idx]
+            candidate_idx = newpos[candidate_idx]
+        else:
+            unique_ids = np.zeros(width, np.int32)
+            unique_ids[:min(u, width)] = uniq_buf[:u][:width]
         off = np.int32(process_index * width)
         out = {
             "unique_ids": unique_ids,
             "browsed_idx": browsed_idx + off,
             "candidate_idx": candidate_idx + off,
         }
+        if ws > 0:
+            out["short_mark"] = np.zeros(process_count * ws, np.int8)
+            if process_count > 1:
+                out["block_mark"] = np.zeros(process_count, np.int8)
         if data.user_ids is not None:
             out["user_ids"] = batch["user_ids"]
         yield out

@@ -144,7 +144,28 @@ class RecModel(nn.Module):
             unique_ids = batch["unique_ids"]                       # [U]
             ws = (batch["short_mark"].shape[0]
                   if "short_mark" in batch else 0)                 # static
-            if ws >= unique_ids.shape[0] and self.LENGTH_SPLIT_OK:
+            nb = (batch["block_mark"].shape[0]
+                  if "block_mark" in batch else 1)                 # static
+            if nb > 1 and ws > 0 and self.LENGTH_SPLIT_OK:
+                # Multi-process feed: the unique buffer is nb per-process
+                # blocks, EACH partitioned [short ws/nb | long] at one
+                # agreed width (loader.train_batches_sliced). Encode all
+                # blocks' shorts truncated and longs full-length, then
+                # restore the block layout — indices already point into it.
+                U = unique_ids.shape[0]
+                W = U // nb
+                wsl = ws // nb
+                u2 = unique_ids.reshape(nb, W)
+                v_s = self.encode_news_ids(
+                    u2[:, :wsl].reshape(-1), news_feats, deterministic,
+                    feat_trunc=self._feat_trunc())
+                v_l = self.encode_news_ids(
+                    u2[:, wsl:].reshape(-1), news_feats, deterministic)
+                D = v_s.shape[-1]
+                uvecs = jnp.concatenate(
+                    [v_s.reshape(nb, wsl, D), v_l.reshape(nb, W - wsl, D)],
+                    axis=1).reshape(U, D)
+            elif ws >= unique_ids.shape[0] and self.LENGTH_SPLIT_OK:
                 # Everything is short (possible only when the long block is
                 # empty): one truncated encode — a zero-width long slice
                 # would hand the Pallas kernel an M=0 grid.

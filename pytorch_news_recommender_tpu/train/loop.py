@@ -215,7 +215,7 @@ class Trainer:
         n_data = self.mesh.shape[self.cfg.mesh.data_axis]
         out = {}
         for k, v in batch.items():
-            if v.shape[0] % n_data == 0:
+            if v.shape[0] % n_data == 0 and not k.endswith("_mark"):
                 out[k] = self._batch_shard
             else:
                 out[k] = self._repl
@@ -225,10 +225,15 @@ class Trainer:
         """Per-key shardings for a LOCAL batch slice whose global leading
         size is ``local * process_count``. Every key must split evenly over
         the data axis — a replicated fallback would be wrong here (each
-        process holds different rows)."""
+        process holds different rows). Exception: ``*_mark`` shape markers
+        are replicated (every process materializes the identical full
+        zeros array; only their SHAPE is meaningful)."""
         n_data = self.mesh.shape[self.cfg.mesh.data_axis]
         out = {}
         for k, v in local_batch.items():
+            if k.endswith("_mark"):
+                out[k] = self._repl
+                continue
             g = v.shape[0] * self.n_proc
             if g % n_data != 0:
                 raise ValueError(
@@ -243,7 +248,11 @@ class Trainer:
         from pytorch_news_recommender_tpu.parallel.distributed import (
             global_batch,
         )
-        return global_batch(local_batch, self._global_shardings(local_batch))
+        sizes = {k: (v.shape[0] if k.endswith("_mark")
+                     else v.shape[0] * self.n_proc)
+                 for k, v in local_batch.items()}
+        return global_batch(local_batch, self._global_shardings(local_batch),
+                            sizes)
 
     def train_step_fn(self, batch) -> Callable:
         key = tuple(sorted(batch.keys()))
@@ -617,7 +626,8 @@ class Trainer:
                 host_iter = train_batches_sliced(
                     self.dataset.train, cfg.train.batch_size, shuffle_rng,
                     process_index=self.proc_idx, process_count=self.n_proc,
-                    dedup=cfg.train.dedup_batches)
+                    dedup=cfg.train.dedup_batches,
+                    length_split=self._length_split)
                 batches = device_prefetch(host_iter, self._batch_shardings,
                                           put_fn=self._put_global)
             else:
