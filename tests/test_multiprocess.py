@@ -55,11 +55,30 @@ log = []
 state, _ = tr.fit(state, log_fn=lambda d: log.append(d),
                   eval_each_epoch=False)
 m = tr.evaluate(state)
+
+# distributed Orbax checkpoint: all processes participate in the save to a
+# SHARED directory, then restore and verify the state round-trips
+ckpt_ok = False
+try:
+    from pytorch_news_recommender_tpu.train.checkpoint import CheckpointManager
+    mngr = CheckpointManager(sys.argv[4], cfg)
+    mngr.save(int(state.step), state, m)
+    restored = mngr.restore(tr.init_state(seed=1))
+    mngr.close()
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    import numpy as _np
+    ckpt_ok = (int(restored.step) == int(state.step)
+               and _np.allclose(_np.asarray(a), _np.asarray(b)))
+except Exception as e:
+    print("CKPT_ERROR " + repr(e), flush=True)
+
 out = {
     "process": jax.process_index(),
     "losses": [round(d["loss"], 6) for d in log if "loss" in d],
     "auc": round(m["auc"], 6),
     "n_impressions": m["n_impressions"],
+    "ckpt_ok": ckpt_ok,
 }
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -84,9 +103,11 @@ def test_two_process_fit_matches_single_process(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
 
+    ckpt_dir = tmp_path / "ckpt"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, "2", str(pid)],
+            [sys.executable, str(script), coord, "2", str(pid),
+             str(ckpt_dir)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True)
         for pid in range(2)
@@ -108,6 +129,8 @@ def test_two_process_fit_matches_single_process(tmp_path):
     assert results[0]["losses"] == results[1]["losses"]
     assert results[0]["auc"] == results[1]["auc"]
     assert len(results[0]["losses"]) > 0
+    # distributed Orbax save/restore round-tripped on both processes
+    assert results[0]["ckpt_ok"] and results[1]["ckpt_ok"], (results, errs)
 
     # and they match a single-process run of the same global computation
     import dataclasses
