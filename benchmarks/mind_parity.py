@@ -1,0 +1,172 @@
+"""One-command MIND AUC-parity run: raw TSVs -> preprocess -> train -> verdict.
+
+The AUC-parity north star (BASELINE.md: dev AUC within ~0.002 of the
+reference's 0.675 NRMS-glove300 run, ``/root/reference/MIND_2020/res_logs.md:6``)
+needs the real MIND dataset, which is not redistributable with the repo. This
+harness makes the run a single command the moment the data is present:
+
+    python benchmarks/mind_parity.py \
+        --mind-root /data/MINDlarge --glove /data/glove.840B.300d.txt
+
+``--mind-root`` must hold ``train/`` and ``dev/`` dirs (optionally ``test/``),
+each with ``news.tsv`` + ``behaviors.tsv`` as distributed by msnews.github.io.
+
+Stages (each resumable):
+
+1. **preprocess** — skipped when ``<workdir>/artifacts`` already holds built
+   arrays (delete it to force a rebuild);
+2. **train** — runs the actual CLI (``cli train --auto-resume``) at reference
+   hyperparameters (batch 512, Adam 1e-3, 6 epochs, eval every 5000 steps,
+   500-step warm-up — ``run_v0.py:46-47``, ``train_eval.py:48,64-101``), so a
+   preempted run continues from its own latest checkpoint;
+3. **verdict** — restores the BEST-dev-AUC checkpoint, evaluates dev
+   (reference truncation: first 100k impressions, ``run_v0.py:79``), and
+   prints ONE JSON line::
+
+       {"metric": "dev_auc", "value": ..., "vs_reference": ...,
+        "target": 0.675, "tolerance": 0.002, "parity": true|false, ...}
+
+Smoke mode (``--smoke``) caps epochs/impressions so the full chain can be
+validated end-to-end in seconds on toy TSVs (tests/test_mind_parity.py does
+this with the synthesized fixtures; no real data required).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+REFERENCE_DEV_AUC = 0.675  # NRMS-glove300, res_logs.md:6
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--mind-root", required=True,
+                    help="dir with train/ dev/ [test/] MIND TSV splits")
+    ap.add_argument("--glove", default=None,
+                    help="GloVe text file (glove.840B.300d.txt)")
+    ap.add_argument("--workdir", default="mind_parity_run",
+                    help="artifacts + checkpoints live here (resumable)")
+    ap.add_argument("--model", default="nrms")
+    ap.add_argument("--epochs", type=int, default=6)       # run_v0.py:47
+    ap.add_argument("--batch-size", type=int, default=512)  # run_v0.py:46
+    ap.add_argument("--word-embed-size", type=int, default=300)
+    ap.add_argument("--max-impressions", type=int, default=100_000,
+                    help="dev truncation (reference run_v0.py:79)")
+    ap.add_argument("--target", type=float, default=REFERENCE_DEV_AUC)
+    ap.add_argument("--tolerance", type=float, default=0.002)
+    ap.add_argument("--sample-size", type=int, default=None)
+    ap.add_argument("--history-len", type=int, default=50)
+    ap.add_argument("--min-history", type=int, default=5)
+    ap.add_argument("--word-freq-threshold", type=int, default=3)
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the fused Pallas kernels (required off-TPU)")
+    ap.add_argument("--compute-dtype", default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-run mode: 1 epoch, small eval cap — validates "
+                         "the chain, not the AUC")
+    return ap.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = build_args(argv)
+    root = pathlib.Path(args.mind_root)
+    for split in ("train", "dev"):
+        for f in ("news.tsv", "behaviors.tsv"):
+            p = root / split / f
+            if not p.exists():
+                log(f"missing {p} — --mind-root must hold MIND split dirs")
+                return 2
+    test_dir = root / "test"
+    work = pathlib.Path(args.workdir)
+    art = work / "artifacts"
+    if args.smoke:
+        args.epochs = min(args.epochs, 1)
+        args.max_impressions = min(args.max_impressions, 256)
+
+    from pytorch_news_recommender_tpu import cli
+
+    # -- stage 1: preprocess (resumable: skip if artifacts exist) ----------
+    if (art / "meta.json").exists():
+        log(f"[1/3] artifacts already built at {art} — skipping preprocess")
+    else:
+        log(f"[1/3] preprocessing {root} -> {art}")
+        pre = ["preprocess", "--train-dir", str(root / "train"),
+               "--dev-dir", str(root / "dev"), "--out", str(art),
+               "--history-len", str(args.history_len),
+               "--min-history", str(args.min_history),
+               "--word-freq-threshold", str(args.word_freq_threshold),
+               "--word-embed-size", str(args.word_embed_size)]
+        if test_dir.exists():
+            pre += ["--test-dir", str(test_dir)]
+        if args.glove:
+            pre += ["--glove", args.glove]
+        if args.sample_size is not None:
+            pre += ["--sample-size", str(args.sample_size)]
+        rc = cli.main(pre)
+        if rc != 0:
+            return rc
+
+    # -- stage 2: train via the real CLI (auto-resume across restarts) ----
+    save_dir = work / "ckpts"
+    log(f"[2/3] training {args.model}: {args.epochs} epochs, "
+        f"batch {args.batch_size}")
+    tr = ["train", "--data", str(art), "--model", args.model,
+          "--batch-size", str(args.batch_size),
+          "--epochs", str(args.epochs),
+          "--save-dir", str(save_dir), "--auto-resume"]
+    if args.sample_size is not None:
+        tr += ["--sample-size", str(args.sample_size)]
+    if args.no_pallas:
+        tr += ["--no-pallas"]
+    if args.compute_dtype:
+        tr += ["--compute-dtype", args.compute_dtype]
+    rc = cli.main(tr)
+    if rc != 0:
+        return rc
+
+    # -- stage 3: best-checkpoint dev eval + verdict -----------------------
+    log("[3/3] evaluating best checkpoint on dev")
+    from pytorch_news_recommender_tpu.data.dataset import RecDataset
+    from pytorch_news_recommender_tpu.train.checkpoint import (
+        CheckpointManager, load_config,
+    )
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    ckpt = save_dir / args.model
+    cfg = load_config(ckpt)
+    ds = RecDataset.load(art)
+    trainer = Trainer(cfg, ds)
+    state = CheckpointManager(ckpt).restore(trainer.init_state())
+    metrics = trainer.evaluate(state, max_impressions=args.max_impressions)
+
+    auc = float(metrics["auc"])
+    delta = auc - args.target
+    verdict = {
+        "metric": "dev_auc",
+        "value": round(auc, 6),
+        "unit": "auc",
+        "vs_reference": round(delta, 6),
+        "target": args.target,
+        "tolerance": args.tolerance,
+        "parity": bool(delta >= -args.tolerance),
+        "model": args.model,
+        "smoke": bool(args.smoke),
+        **{k: round(float(v), 6) for k, v in metrics.items() if k != "auc"},
+    }
+    if args.smoke:
+        verdict["parity"] = None  # a smoke run validates the chain, not AUC
+    print(json.dumps(verdict))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,6 +93,7 @@ def cmd_preprocess(args) -> int:
     cfg = DataConfig(
         history_len=args.history_len, sample_size=args.sample_size,
         min_history=args.min_history, entity_nums=args.entity_nums,
+        word_freq_threshold=args.word_freq_threshold,
     )
     ds = mind.build_dataset(
         cfg,
@@ -400,6 +401,9 @@ def main(argv=None) -> int:
     p.add_argument("--sample-size", type=int, default=5)
     p.add_argument("--min-history", type=int, default=5)
     p.add_argument("--entity-nums", type=int, default=10)
+    p.add_argument("--word-freq-threshold", type=int, default=3,
+                   help="min corpus frequency for a vocab word (reference "
+                        "hardcodes 3, data_processor.py:181-183)")
     p.add_argument("--seed", type=int, default=2020)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_preprocess)
