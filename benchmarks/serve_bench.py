@@ -8,10 +8,17 @@ Measures the three serving costs of :class:`serve.Recommender` at MIND scale
   list) at a few batch widths;
 * corpus-wide ``top_k`` retrieval latency ([D] @ [D, N] + lax.top_k).
 
+``--mesh N`` additionally measures the DISTRIBUTED retrieval path (the
+``cli serve --mesh`` mode): the corpus vector cache row-shards over an
+N-device mesh and the top_k matmul shards with it, XLA gathering the
+per-shard partial top-k. With fewer than N real devices it forces an
+N-device virtual CPU mesh (functional numbers, not hardware speed) — the
+same harness produces the real numbers on a pod slice.
+
 Request latencies through the axon tunnel include ~25 ms of fixed host-fetch
 RTT; the marginal (slope) number excludes it and is the on-host figure.
 
-Run: python benchmarks/serve_bench.py
+Run: python benchmarks/serve_bench.py [--mesh 8]
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
-def main():
+def main(mesh_size: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +123,31 @@ def main():
           f"{q_bytes/2**20:.1f} MB vs {f_bytes/2**20:.1f} MB native; "
           f"recall@10 vs native {recall:.2f}", flush=True)
 
+    if mesh_size > 1:
+        # distributed retrieval: corpus cache row-sharded over the mesh,
+        # top_k matmul sharded with it (the `cli serve --mesh` path)
+        import dataclasses as _dc
+
+        from pytorch_news_recommender_tpu.parallel.mesh import make_mesh
+
+        mcfg = _dc.replace(cfg.mesh, model_parallel_size=1)
+        mesh = make_mesh(mcfg, devices=jax.devices()[:mesh_size])
+        rec_m = Recommender(cfg, ds, state.params, mesh=mesh)
+        ids_m, _ = rec_m.top_k(hist, k=10)  # compile
+        recall_m = len(set(map(int, ids_f)) & set(map(int, ids_m))) / 10
+        times = {}
+        for N in (5, 25):
+            t0 = time.perf_counter()
+            for _ in range(N):
+                rec_m.top_k(hist, k=10)
+            times[N] = time.perf_counter() - t0
+        ms = (times[25] - times[5]) / 20 * 1e3
+        kind = mesh.devices.ravel()[0].platform
+        print(f"top_k(10) sharded over {mesh_size} {kind} devices: "
+              f"{ms:.2f} ms/request; recall@10 vs single-device "
+              f"{recall_m:.2f}", flush=True)
+        del rec_m
+
     http_load(rec, hist, n)
 
 
@@ -170,4 +202,22 @@ def http_load(rec, hist, n, n_requests: int = 96, concurrency: int = 12):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="also measure top_k with the corpus row-sharded "
+                         "over this many devices (forces a virtual CPU mesh "
+                         "when fewer real devices exist)")
+    a = ap.parse_args()
+    if a.mesh > 1:
+        # must happen before jax import: back a virtual mesh with CPU
+        # devices when the attached platform has fewer than requested
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={a.mesh}"
+            ).strip()
+    main(mesh_size=a.mesh)

@@ -398,11 +398,14 @@ class Recommender:
                 if self.mesh is not None:
                     # --mesh mode: re-apply the row sharding after a block
                     # reallocation so the corpus cache stays distributed
+                    # (spec rank must match the table: feature tables like
+                    # categ ids are rank-1)
                     from jax.sharding import NamedSharding, PartitionSpec as P
                     axis = self.mesh.axis_names[0]
                     if table.shape[0] % self.mesh.shape[axis] == 0:
+                        spec = P(axis, *([None] * (table.ndim - 1)))
                         table = jax.device_put(
-                            table, NamedSharding(self.mesh, P(axis, None)))
+                            table, NamedSharding(self.mesh, spec))
             return table.at[nid].set(row)
 
         if self.corpus_cache == "int8":

@@ -290,6 +290,46 @@ def test_fresh_news_http_roundtrip(mind_dirs, cfg):
         srv.stop()
 
 
+def test_mesh_add_news_growth(mind_dirs, cfg):
+    """--mesh serving keeps the corpus cache row-sharded across an add_news
+    block growth, and grown answers match the single-device recommender."""
+    from pytorch_news_recommender_tpu.config import MeshConfig
+    from pytorch_news_recommender_tpu.parallel.mesh import make_mesh
+    from pytorch_news_recommender_tpu.serve import Recommender
+
+    full, ds, state = _train_tiny(mind_dirs, cfg)
+    rec = Recommender(full, ds, state.params, candidate_widths=(4, 8))
+    mesh = make_mesh(MeshConfig())
+    rec_m = Recommender(full, ds, state.params, mesh=mesh,
+                        candidate_widths=(4, 8))
+    n_dev = mesh.shape[mesh.axis_names[0]]
+    # land the grown capacity on a mesh-divisible size so the re-shard
+    # branch (serve.py grown()) actually runs
+    grow = type(rec_m).GROW_BLOCK
+    grow += (-(rec_m.n_news + grow)) % n_dev
+    rec_m.GROW_BLOCK = rec.GROW_BLOCK = grow
+
+    item = dict(title="Stocks rally again", category="finance",
+                subcategory="markets")
+    nid = rec.add_news(**item)
+    nid_m = rec_m.add_news(**item)
+    assert nid_m == nid
+    assert rec_m.news_vecs.shape[0] % n_dev == 0
+    # the grown cache is genuinely distributed, not replicated
+    axis = mesh.axis_names[0]
+    spec = rec_m.news_vecs.sharding.spec
+    assert spec[0] == axis, spec
+    assert len(rec_m.news_vecs.sharding.device_set) == n_dev
+
+    hist = [1, 2, 3]
+    np.testing.assert_allclose(rec_m.score(hist, [nid, 1, 2]),
+                               rec.score(hist, [nid, 1, 2]),
+                               rtol=1e-4, atol=1e-5)
+    ids_a, _ = rec.top_k(hist, k=4)
+    ids_b, _ = rec_m.top_k(hist, k=4)
+    assert [int(i) for i in ids_a] == [int(i) for i in ids_b]
+
+
 def test_coclick_graph(mind_dirs, cfg):
     ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev",
                             news_graph_neighbors=3)
