@@ -32,8 +32,13 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
-def main(mesh_size: int = 0):
+def main(mesh_size: int = 0, force_cpu: bool = False):
     import jax
+
+    if force_cpu:
+        # The hosted axon TPU plugin overrides JAX_PLATFORMS from the
+        # environment; pin via config before the backend initializes.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from pytorch_news_recommender_tpu.config import (
@@ -49,7 +54,8 @@ def main(mesh_size: int = 0):
         data=DataConfig(dataset="synthetic"),
         model=ModelConfig(
             word_embed_size=300, num_attention_heads=10, user_heads_num=10,
-            query_vector_dim=200, compute_dtype="bfloat16", use_pallas=True,
+            query_vector_dim=200, compute_dtype="bfloat16",
+            use_pallas=not force_cpu,
         ),
         train=TrainConfig(batch_size=128),
     )
@@ -76,7 +82,7 @@ def main(mesh_size: int = 0):
     del rec2
 
     rng = np.random.default_rng(0)
-    hist = list(rng.integers(1, n, size=30))
+    hist = [int(x) for x in rng.integers(1, n, size=30)]  # JSON-safe ints
 
     # per-request score latency (marginal over a chain of requests)
     for width in (16, 300):
@@ -209,15 +215,20 @@ if __name__ == "__main__":
     ap.add_argument("--mesh", type=int, default=0,
                     help="also measure top_k with the corpus row-sharded "
                          "over this many devices (forces a virtual CPU mesh "
-                         "when fewer real devices exist)")
+                         "unless --mesh-real-devices)")
+    ap.add_argument("--mesh-real-devices", action="store_true",
+                    help="use the attached accelerators for --mesh instead "
+                         "of a virtual CPU mesh (real pod-slice numbers)")
     a = ap.parse_args()
-    if a.mesh > 1:
-        # must happen before jax import: back a virtual mesh with CPU
-        # devices when the attached platform has fewer than requested
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    force_cpu = a.mesh > 1 and not a.mesh_real_devices
+    if force_cpu:
+        # a virtual CPU mesh backs the sharded path; the XLA flag must be
+        # set before jax initializes (the platform pin happens via
+        # jax.config inside main — env JAX_PLATFORMS alone is overridden
+        # by hosted TPU plugins)
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
                 f"{flags} --xla_force_host_platform_device_count={a.mesh}"
             ).strip()
-    main(mesh_size=a.mesh)
+    main(mesh_size=a.mesh, force_cpu=force_cpu)
