@@ -9,6 +9,11 @@ from a topic-specific slice of the vocabulary. Each user prefers a couple of
 topics; their history and clicked candidates come from preferred topics while
 negatives are drawn uniformly. A working model should therefore push
 impression AUC well above 0.5 within a few hundred steps.
+
+Generation is fully vectorized (one weighted draw per distinct preference
+pair instead of per-impression ``rng.choice`` calls), so MIND-large-scale
+sets (~2.2M impressions) build in seconds — the per-impression Python loop
+this replaces took ~1 ms/impression.
 """
 
 from __future__ import annotations
@@ -22,6 +27,65 @@ from pytorch_news_recommender_tpu.data.dataset import (
     RecDataset,
     TrainData,
 )
+
+
+def _word_block(rng, topics_1, length, words_per_topic, dist):
+    """[n_news, length] topic-sliced word ids with per-row true lengths."""
+    n = len(topics_1)
+    if dist is not None:
+        mean, std = dist
+        n_fill = np.clip(np.round(rng.normal(mean, std, size=n)),
+                         1, length).astype(np.int64)
+    else:
+        n_fill = np.full(n, max(1, int(length * 0.7)), np.int64)
+    base = 1 + topics_1 * words_per_topic
+    words = base[:, None] + rng.integers(
+        0, words_per_topic, size=(n, length))
+    mask = np.arange(length)[None, :] < n_fill[:, None]
+    return np.where(mask, words, 0).astype(np.int32)
+
+
+def _flat_segment_positions(counts):
+    """(row, within, cum) for impression-major flattening of per-row counts."""
+    counts = np.asarray(counts, np.int64)
+    n = len(counts)
+    cum = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=cum[1:])
+    row = np.repeat(np.arange(n), counts)
+    within = np.arange(cum[-1]) - np.repeat(cum[:-1], counts)
+    return row, within, cum
+
+
+def _draw_clicks_grouped(rng, t1, t2, counts, news_by_topic,
+                         weights_by_topic, skew):
+    """Impression-major flat clicked-news draws for many impressions.
+
+    Impressions are grouped by their (t1, t2) preference pair and each
+    distinct pair does ONE (weighted) draw for all its impressions — the
+    vectorized equivalent of the per-impression ``draw_clicks``: the pool is
+    the union of both topics' news with each topic's Zipf weights at equal
+    total mass."""
+    T = len(news_by_topic)
+    counts = np.asarray(counts, np.int64)
+    _, _, cum = _flat_segment_positions(counts)
+    out = np.zeros(int(cum[-1]), np.int32)
+    key = np.asarray(t1, np.int64) * T + np.asarray(t2, np.int64)
+    for k in np.unique(key):
+        idx = np.where(key == k)[0]
+        need = int(counts[idx].sum())
+        if need == 0:
+            continue
+        a, b = divmod(int(k), T)
+        pool = np.concatenate([news_by_topic[a], news_by_topic[b]])
+        if skew > 0:
+            w = np.concatenate([weights_by_topic[a], weights_by_topic[b]])
+            w = w / w.sum()
+            draws = rng.choice(pool, size=need, p=w)
+        else:
+            draws = pool[rng.integers(0, len(pool), size=need)]
+        grow, gwithin, _ = _flat_segment_positions(counts[idx])
+        out[cum[idx[grow]] + gwithin] = draws
+    return out, cum
 
 
 def generate(
@@ -65,27 +129,15 @@ def generate(
     topics[0] = 0
     words_per_topic = (vocab_size - 1) // n_topics
 
-    def draw_words(topic, length, fill_frac=0.7, dist=None):
-        if dist is not None:
-            mean, std = dist
-            n_fill = int(np.clip(round(rng.normal(mean, std)), 1, length))
-        else:
-            n_fill = max(1, int(length * fill_frac))
-        base = 1 + topic * words_per_topic
-        w = rng.integers(base, base + words_per_topic, size=n_fill)
-        out = np.zeros(length, dtype=np.int32)
-        out[:n_fill] = w
-        return out
-
+    t1_news = topics[1:]
     title = np.zeros((n_news + 1, L_t), dtype=np.int32)
     abst = np.zeros((n_news + 1, L_a), dtype=np.int32)
+    title[1:] = _word_block(rng, t1_news, L_t, words_per_topic, title_len)
+    abst[1:] = _word_block(rng, t1_news, L_a, words_per_topic, abst_len)
     categ = np.zeros(n_news + 1, dtype=np.int32)
     subcateg = np.zeros(n_news + 1, dtype=np.int32)
-    for i in range(1, n_news + 1):
-        title[i] = draw_words(topics[i], L_t, dist=title_len)
-        abst[i] = draw_words(topics[i], L_a, dist=abst_len)
-        categ[i] = 1 + topics[i] % (n_categories - 1)
-        subcateg[i] = 1 + topics[i] % (n_subcategories - 1)
+    categ[1:] = 1 + t1_news % (n_categories - 1)
+    subcateg[1:] = 1 + t1_news % (n_subcategories - 1)
 
     # optional per-news BERT-like vectors: topic centroid + noise (plays the
     # role of the reference's bert-as-service sentence vectors,
@@ -107,28 +159,21 @@ def generate(
         else:
             weights_by_topic.append(None)
 
-    def draw_clicks(prefs, size):
-        """Sample clicked news from the union of preferred-topic pools with
-        per-topic popularity weights."""
-        pool = np.concatenate([news_by_topic[p] for p in prefs])
-        if popularity_skew > 0:
-            w = np.concatenate([weights_by_topic[p] for p in prefs])
-            w = w / w.sum()
-            return rng.choice(pool, size=size, p=w)
-        return rng.choice(pool, size=size)
-
     # optional per-news entity ids (topic-clustered, like WikiData entities
     # from the MIND pipeline) + a pretrained-style entity matrix
     entity = None
     entity_embeddings = None
     if n_entities:
+        E = entities_per_news
         ents_per_topic = max(1, n_entities // n_topics)
-        entity = np.zeros((n_news + 1, entities_per_news), dtype=np.int32)
-        for i in range(1, n_news + 1):
-            base = 1 + (topics[i] * ents_per_topic) % n_entities
-            k = int(rng.integers(1, entities_per_news + 1))
-            entity[i, :k] = ((base + rng.integers(0, ents_per_topic, size=k)
-                              - 1) % n_entities) + 1
+        base = 1 + (t1_news * ents_per_topic) % n_entities
+        k = rng.integers(1, E + 1, size=n_news)
+        vals = ((base[:, None] + rng.integers(0, ents_per_topic,
+                                              size=(n_news, E)) - 1)
+                % n_entities) + 1
+        emask = np.arange(E)[None, :] < k[:, None]
+        entity = np.zeros((n_news + 1, E), dtype=np.int32)
+        entity[1:] = np.where(emask, vals, 0)
         dim = entity_dim or 32
         entity_embeddings = rng.standard_normal(
             (n_entities + 1, dim)).astype(np.float32)
@@ -139,67 +184,77 @@ def generate(
     neighbors = None
     if n_neighbors:
         neighbors = np.zeros((n_news + 1, n_neighbors), dtype=np.int32)
-        for i in range(1, n_news + 1):
-            pool = news_by_topic[topics[i]]
-            neighbors[i] = rng.choice(pool, size=n_neighbors)
+        for t in range(n_topics):
+            pool = news_by_topic[t]
+            rows = np.where(t1_news == t)[0] + 1
+            if len(pool) and len(rows):
+                neighbors[rows] = pool[rng.integers(
+                    0, len(pool), size=(len(rows), n_neighbors))]
 
     # optional persistent user identities (uid 0 = pad/unknown); each user has
     # fixed topic preferences, so LSTUR-style long-term user embeddings have
-    # signal to learn.
-    user_prefs = None
+    # signal to learn. (t1, t2) distinct, uniform over ordered pairs — the
+    # vectorized equivalent of choice(n_topics, 2, replace=False).
     if n_users:
-        user_prefs = [rng.choice(n_topics, size=2, replace=False)
-                      for _ in range(n_users + 1)]
+        u_t1 = rng.integers(0, n_topics, size=n_users + 1)
+        u_t2 = (u_t1 + rng.integers(1, n_topics, size=n_users + 1)) % n_topics
 
-    def sample_user():
+    def sample_impressions(m: int):
+        """(user_ids, t1, t2, browsed) for m impressions, vectorized."""
         if n_users:
-            uid = int(rng.integers(1, n_users + 1))
-            prefs = user_prefs[uid]
+            uids = rng.integers(1, n_users + 1, size=m).astype(np.int32)
+            t1, t2 = u_t1[uids], u_t2[uids]
         else:
-            uid = 0
-            prefs = rng.choice(n_topics, size=2, replace=False)
-        hist_len = int(rng.integers(cfg.min_history, H + 1))
-        hist = draw_clicks(prefs, hist_len)
-        browsed = np.zeros(H, dtype=np.int32)
-        browsed[H - hist_len:] = hist  # most-recent last, left-padded
-        return uid, prefs, browsed
+            uids = np.zeros(m, np.int32)
+            t1 = rng.integers(0, n_topics, size=m)
+            t2 = (t1 + rng.integers(1, n_topics, size=m)) % n_topics
+        hist_len = rng.integers(cfg.min_history, H + 1, size=m)
+        clicks, cum = _draw_clicks_grouped(
+            rng, t1, t2, hist_len, news_by_topic, weights_by_topic,
+            popularity_skew)
+        row, within, _ = _flat_segment_positions(hist_len)
+        browsed = np.zeros((m, H), dtype=np.int32)
+        # most-recent last, left-padded
+        browsed[row, (H - hist_len)[row] + within] = clicks
+        return uids, t1, t2, browsed
 
     # --- train: 1 positive + K uniform negatives, positive at slot 0 ---
-    tr_browsed = np.zeros((n_train, H), dtype=np.int32)
+    tr_users, t1, t2, tr_browsed = sample_impressions(n_train)
     tr_cands = np.zeros((n_train, 1 + K), dtype=np.int32)
-    tr_users = np.zeros(n_train, dtype=np.int32)
-    for i in range(n_train):
-        uid, prefs, browsed = sample_user()
-        tr_browsed[i] = browsed
-        tr_users[i] = uid
-        tr_cands[i, 0] = draw_clicks(prefs, 1)[0]
-        tr_cands[i, 1:] = rng.integers(1, n_news + 1, size=K)
+    pos, _ = _draw_clicks_grouped(
+        rng, t1, t2, np.ones(n_train, np.int64), news_by_topic,
+        weights_by_topic, popularity_skew)
+    tr_cands[:, 0] = pos
+    tr_cands[:, 1:] = rng.integers(1, n_news + 1, size=(n_train, K))
 
     def make_eval(m: int, with_labels: bool) -> DevData:
-        browsed = np.zeros((m, H), dtype=np.int32)
-        user_ids = np.zeros(m, dtype=np.int32)
-        cand_chunks, label_chunks, offsets = [], [], [0]
-        for i in range(m):
-            uid, prefs, b = sample_user()
-            browsed[i] = b
-            user_ids[i] = uid
-            c = int(rng.integers(*dev_cands_range))
-            n_pos = max(1, int(rng.integers(1, max(2, c // 4))))
-            pos = draw_clicks(prefs, n_pos)
-            neg = rng.integers(1, n_news + 1, size=c - n_pos)
-            cands = np.concatenate([pos, neg]).astype(np.int32)
-            labels = np.concatenate(
-                [np.ones(n_pos, np.int8), np.zeros(c - n_pos, np.int8)])
-            perm = rng.permutation(c)
-            cand_chunks.append(cands[perm])
-            label_chunks.append(labels[perm] if with_labels
-                                else np.zeros(c, np.int8))
-            offsets.append(offsets[-1] + c)
+        user_ids, t1, t2, browsed = sample_impressions(m)
+        c = rng.integers(*dev_cands_range, size=m).astype(np.int64)
+        n_pos = rng.integers(1, np.maximum(2, c // 4))
+        pos_flat, pos_cum = _draw_clicks_grouped(
+            rng, t1, t2, n_pos, news_by_topic, weights_by_topic,
+            popularity_skew)
+        n_neg = c - n_pos
+        neg_flat = rng.integers(1, n_news + 1,
+                                size=int(n_neg.sum())).astype(np.int32)
+        # impression-major [pos | neg] layout, then an in-segment shuffle
+        row, within, cum = _flat_segment_positions(c)
+        cand = np.zeros(int(cum[-1]), np.int32)
+        label = np.zeros(int(cum[-1]), np.int8)
+        prow, pwithin, _ = _flat_segment_positions(n_pos)
+        cand[cum[prow] + pwithin] = pos_flat
+        label[cum[prow] + pwithin] = 1
+        nrow, nwithin, _ = _flat_segment_positions(n_neg)
+        cand[cum[nrow] + n_pos[nrow] + nwithin] = neg_flat
+        # per-impression permutation: sort by (segment, random key)
+        order = np.lexsort((rng.random(len(cand)), row))
+        cand = cand[order]
+        label = label[order]
         return DevData(
             browsed_ids=browsed,
-            cand_flat=np.concatenate(cand_chunks),
-            label_flat=np.concatenate(label_chunks),
-            offsets=np.asarray(offsets, dtype=np.int64),
+            cand_flat=cand,
+            label_flat=label if with_labels else np.zeros_like(label),
+            offsets=cum,
             user_ids=user_ids if n_users else None,
         )
 
