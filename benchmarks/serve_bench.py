@@ -32,7 +32,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
-def main(mesh_size: int = 0, force_cpu: bool = False):
+def main(mesh_size: int = 0, force_cpu: bool = False, corpus: int = 50000):
     import jax
 
     if force_cpu:
@@ -59,7 +59,7 @@ def main(mesh_size: int = 0, force_cpu: bool = False):
         ),
         train=TrainConfig(batch_size=128),
     )
-    ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
+    ds = synthetic.generate(cfg.data, seed=0, n_news=corpus, vocab_size=45800,
                             n_train=128, n_dev=8)
     trainer = Trainer(cfg, ds)
     state = trainer.init_state(seed=0)
@@ -219,6 +219,9 @@ if __name__ == "__main__":
     ap.add_argument("--mesh-real-devices", action="store_true",
                     help="use the attached accelerators for --mesh instead "
                          "of a virtual CPU mesh (real pod-slice numbers)")
+    ap.add_argument("--corpus", type=int, default=50000,
+                    help="corpus size in news (MIND-large is ~101k; try 1M "
+                         "for production-retrieval scale)")
     a = ap.parse_args()
     force_cpu = a.mesh > 1 and not a.mesh_real_devices
     if force_cpu:
@@ -231,4 +234,4 @@ if __name__ == "__main__":
             os.environ["XLA_FLAGS"] = (
                 f"{flags} --xla_force_host_platform_device_count={a.mesh}"
             ).strip()
-    main(mesh_size=a.mesh, force_cpu=force_cpu)
+    main(mesh_size=a.mesh, force_cpu=force_cpu, corpus=a.corpus)

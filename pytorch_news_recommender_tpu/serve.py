@@ -236,44 +236,50 @@ class Recommender:
             self._score_fn(w)(self.params, batch, self._tables()))[0]
         return s[:len(candidates)]
 
-    # request-batch sizes the batched path pads to (one compiled executable
-    # per (B, width) pair; the ladder keeps that set small)
-    BATCH_LADDER = (1, 2, 4, 8, 16, 32)
+    # The batched path pads every request group to this fixed batch size —
+    # ONE compiled executable per candidate width, warmable at startup
+    # (``RecommenderServer.warmup``). An earlier (1, 2, 4, 8, 16, 32)
+    # batch-size ladder minimized padding FLOPs but meant 6 executables per
+    # width compiled lazily under live traffic — on a degraded remote
+    # compile server that showed up as multi-second p99 spikes. Padding a
+    # [B, 50]-history user-tower pass to B=32 costs well under a
+    # millisecond on the MXU.
+    BATCH_PAD = 32
 
     def score_many(
         self,
         requests: Sequence[tuple[Sequence[int], Sequence[int], int]],
     ) -> list[np.ndarray]:
         """Score many ``(history, candidates, user_id)`` requests with
-        batched jit calls: requests group by candidate-width bucket and the
-        request batch pads up the :data:`BATCH_LADDER`, so concurrent
-        traffic rides one MXU pass per group instead of one dispatch per
-        request (fed by the HTTP daemon's batching window)."""
+        batched jit calls: requests group by candidate-width bucket, each
+        group padded to :data:`BATCH_PAD` rows (chunked when larger), so
+        concurrent traffic rides one MXU pass per group instead of one
+        dispatch per request (fed by the HTTP daemon's batching window)."""
         out: list = [None] * len(requests)
         groups: Dict[int, list] = {}
         for i, (hist, cands, uid) in enumerate(requests):
             groups.setdefault(self._width_for(len(cands)), []).append(i)
+        B = self.BATCH_PAD
         for w, idxs in groups.items():
-            n = len(idxs)
-            B = next((b for b in self.BATCH_LADDER if b >= n),
-                     -(-n // self.BATCH_LADDER[-1]) * self.BATCH_LADDER[-1])
-            browsed = np.zeros((B, self.H), np.int32)
-            cand = np.zeros((B, w), np.int32)
-            users = np.zeros(B, np.int32)
-            for j, i in enumerate(idxs):
-                hist, cands, uid = requests[i]
-                browsed[j] = self._pad_history(hist)
-                cand[j, :len(cands)] = np.asarray(cands[:w], np.int32)
-                users[j] = uid
-            batch = {
-                "browsed_ids": jnp.asarray(browsed),
-                "candidate_ids": jnp.asarray(cand),
-                "user_ids": jnp.asarray(users),
-            }
-            s = np.asarray(self._score_fn(w)(self.params, batch,
-                                             self._tables()))
-            for j, i in enumerate(idxs):
-                out[i] = s[j, :len(requests[i][1])]
+            for s0 in range(0, len(idxs), B):
+                chunk = idxs[s0:s0 + B]
+                browsed = np.zeros((B, self.H), np.int32)
+                cand = np.zeros((B, w), np.int32)
+                users = np.zeros(B, np.int32)
+                for j, i in enumerate(chunk):
+                    hist, cands, uid = requests[i]
+                    browsed[j] = self._pad_history(hist)
+                    cand[j, :len(cands)] = np.asarray(cands[:w], np.int32)
+                    users[j] = uid
+                batch = {
+                    "browsed_ids": jnp.asarray(browsed),
+                    "candidate_ids": jnp.asarray(cand),
+                    "user_ids": jnp.asarray(users),
+                }
+                s = np.asarray(self._score_fn(w)(self.params, batch,
+                                                 self._tables()))
+                for j, i in enumerate(chunk):
+                    out[i] = s[j, :len(requests[i][1])]
         return out
 
     def _topk_impl(self, params, batch, tables, k: int, n_real):

@@ -194,6 +194,12 @@ class RecommenderServer:
     def warmup(self):
         self.rec.score([1, 2], [1, 2, 3])
         self.rec.top_k([1, 2], k=5)
+        if self.batcher is not None:
+            # Pre-compile the batched (BATCH_PAD x width) executables so the
+            # first burst of windowed traffic never waits on the compiler
+            # (one executable per candidate-width bucket).
+            for w in self.rec.widths:
+                self.rec.score_many([([1, 2], [1] * w, 0)])
 
     def start(self, block: bool = True):
         self.warmup()
