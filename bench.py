@@ -40,7 +40,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def main(batch: int = 512, skip_baseline: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +56,7 @@ def main():
     from pytorch_news_recommender_tpu.data.loader import train_batches
     from pytorch_news_recommender_tpu.train.loop import Trainer, softmax_ce_loss
 
-    BATCH = 512
+    BATCH = batch  # 512 = the reference's run_v0.py:46 (the headline dims)
 
     cfg = Config(
         data=DataConfig(dataset="synthetic"),
@@ -149,6 +149,15 @@ def main():
     log(f"fused+dedup step: {ms_ours:.2f} ms -> {ours_rate:,.0f} ex/s "
         f"(total bench section {time.perf_counter()-t0:.0f}s)")
 
+    if skip_baseline:
+        print(json.dumps({
+            "metric": "nrms_train_examples_per_sec_per_chip",
+            "value": round(ours_rate, 1),
+            "unit": "examples/sec/chip",
+            "batch": BATCH,
+        }))
+        return
+
     # ---- reference-structure baseline on the same chip ----
     model = trainer.model
     H = cfg.data.history_len
@@ -224,4 +233,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512,
+                    help="batch size (512 = reference headline dims; the "
+                         "driver runs the default)")
+    ap.add_argument("--skip-baseline", action="store_true",
+                    help="measure only our step (no reference-structure "
+                         "compile) — for batch-scaling side measurements")
+    a = ap.parse_args()
+    main(batch=a.batch, skip_baseline=a.skip_baseline)
