@@ -210,6 +210,24 @@ def test_http_batching_window(served):
         assert all(r == "ok" for r in results), results
     finally:
         srv.stop()
+    # warmup() pre-compiled the batched executable for EVERY candidate
+    # width (the lazy-compile-under-traffic p99 regression guard): the
+    # per-width jit cache must already hold all width keys.
+    assert set(rec.widths) <= set(
+        k for k in rec._score_fns if isinstance(k, int))
+
+
+def test_score_many_chunks_past_batch_pad(served):
+    """More simultaneous requests than BATCH_PAD chunk onto the same
+    fixed-size executable and still match the single-request API."""
+    cfg, ds, trainer, state, rec = served
+    n = rec.BATCH_PAD + 5
+    reqs = [([1, 2, 3], [1 + (i % 4), 5, 6], 0) for i in range(n)]
+    outs = rec.score_many(reqs)
+    assert len(outs) == n
+    for (hist, cands, uid), got in zip(reqs, outs):
+        np.testing.assert_allclose(got, rec.score(hist, cands, uid),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_mesh_serve_mode(served):
