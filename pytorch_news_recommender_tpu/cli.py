@@ -205,6 +205,10 @@ def cmd_train(args) -> int:
     if args.epochs is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, num_epochs=args.epochs))
+    if args.eval_step is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           eval_step=args.eval_step))
     ds = _load_dataset(args, cfg)
     trainer = Trainer(cfg, ds)
     state = trainer.init_state(seed=args.seed)
@@ -442,6 +446,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="train + eval + checkpoint")
     _add_common(p)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--eval-step", type=int, default=None,
+                   help="eval (and best-AUC checkpoint) every N steps "
+                        "(reference config.py: 5000)")
     p.add_argument("--sample-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=422)  # run_v0.py:33-41
     p.add_argument("--save-dir", default="save_model")

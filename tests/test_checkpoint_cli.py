@@ -132,9 +132,15 @@ def test_cli_auto_resume(tmp_path, capsys):
     save = tmp_path / "save"
     common = ["train", "--data", "synthetic", "--model", "nrms",
               "--epochs", "1", "--batch-size", "64",
+              "--eval-step", "8",  # mid-epoch eval/checkpoint cadence
               "--save-dir", str(save), "--seed", "3"]
     assert cli.main(common) == 0
     capsys.readouterr()
+    # --eval-step produced mid-epoch checkpoints (crash-restart points)
+    steps = [int(p.name) for p in (save / "nrms").iterdir()
+             if p.name.isdigit()]
+    n_steps = 2048 // 64  # synthetic preset: n_train // batch
+    assert steps and min(steps) < n_steps, steps
     assert cli.main(common + ["--auto-resume"]) == 0
     err = capsys.readouterr().err
     assert "auto-resumed" in err, err
