@@ -64,7 +64,7 @@ def synth_news_tsv(path, n_news, rng):
                     f"{t}\t{a}\tu\t\t\n")
 
 
-def synth_behaviors_tsv(path, n_rows, n_news, n_users, rng, dev=False):
+def synth_behaviors_tsv(path, n_rows, n_news, n_users, rng):
     with open(path, "w") as f:
         for i in range(n_rows):
             hist_n = int(rng.integers(3, 51))
@@ -106,7 +106,7 @@ def main():
     synth_behaviors_tsv(tmp / "train" / "behaviors.tsv", args.rows,
                         args.news, args.rows // 20 + 2, rng)
     synth_behaviors_tsv(tmp / "dev" / "behaviors.tsv", dev_rows,
-                        args.news, args.rows // 20 + 2, rng, dev=True)
+                        args.news, args.rows // 20 + 2, rng)
     log(f"synthesized TSVs in {time.perf_counter()-t0:.1f}s "
         f"({args.rows} train rows, {args.news} news) at {tmp}")
 

@@ -194,6 +194,19 @@ def cmd_preprocess_adressa(args) -> int:
 
 
 def cmd_train(args) -> int:
+    # Multi-host group formation MUST precede every other jax API call
+    # (backend init makes it impossible) — so it is the first thing train
+    # does. Single-process runs (no flags, no cluster env) skip it entirely.
+    # Replaces the reference's broken --n_GPUs path (run_v0.py:21-22).
+    from pytorch_news_recommender_tpu.parallel.distributed import initialize
+    if initialize(coordinator_address=args.coordinator,
+                  num_processes=args.num_processes,
+                  process_id=args.process_id):
+        import jax
+        print(f"multi-host runtime up: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices",
+              file=sys.stderr)
+
     from pytorch_news_recommender_tpu.train.checkpoint import CheckpointManager
     from pytorch_news_recommender_tpu.train.loop import Trainer
     from pytorch_news_recommender_tpu.utils.logging import JsonlLogger
@@ -464,6 +477,14 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler trace of the run here")
     p.add_argument("--skip-nonfinite", action="store_true",
                    help="skip (not apply) updates whose loss is non-finite")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for a manual "
+                        "multi-host cluster (Cloud TPU pods / SLURM / MPI "
+                        "auto-detect without flags)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count (with --coordinator)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank (with --coordinator)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.set_defaults(fn=cmd_train)

@@ -19,6 +19,7 @@ batch slice with :func:`global_batch`, and XLA's collectives ride ICI.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -26,26 +27,98 @@ import numpy as np
 from jax.sharding import NamedSharding
 
 
+def _already_initialized() -> bool:
+    """True iff ``jax.distributed.initialize`` already ran in this process.
+
+    Checked via the distributed service's own state object — NOT via
+    ``jax.process_count()``, whose call initializes the JAX backend and
+    thereby makes a subsequent ``jax.distributed.initialize`` fail (the
+    round-2 bug: the wrapper's first statement poisoned the path it was
+    wrapping, and the blanket ``except`` then silently trained N independent
+    single-host jobs)."""
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:
+        # Private-module layout changed: fall back to attempting init and
+        # letting the specific "already initialized" error surface below.
+        return False
+
+
+def cluster_env_detected() -> bool:
+    """Best-effort: does the environment describe a multi-process cluster?
+
+    Pure env-var inspection — touches no JAX backend state. Covers the
+    launchers ``jax.distributed.initialize()`` can auto-configure from:
+    Cloud TPU pods (metadata-provided worker lists), SLURM, Open MPI, and
+    an explicit JAX coordinator address."""
+    env = os.environ
+    if env.get("JAX_COORDINATOR_ADDRESS"):
+        return True
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    try:
+        if int(env.get("SLURM_NTASKS", env.get("SLURM_NPROCS", "1"))) > 1:
+            return True
+    except ValueError:
+        pass
+    try:
+        if int(env.get("OMPI_COMM_WORLD_SIZE", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    return False
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
-    """Initialize the multi-host runtime (no-op when single-process).
+) -> bool:
+    """Bring up the multi-host runtime. Returns True iff a process group
+    exists afterwards (already up, or brought up here).
 
-    On Cloud TPU pods the arguments are discovered from the metadata server /
-    environment; pass them explicitly for manual clusters."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured) — fine
-        pass
+    Call ONCE per process, BEFORE any other jax API use (anything that
+    initializes the backend — ``jax.devices()``, ``jax.process_count()``, a
+    first jnp op — makes process-group formation impossible).
+
+    Three modes, replacing the reference's broken ``--n_GPUs`` DataParallel
+    path (``model/__init__.py:34-36``):
+
+    * explicit args (manual clusters): all three must be given together;
+    * no args on a recognized cluster launcher (Cloud TPU pod / SLURM /
+      Open MPI / ``JAX_COORDINATOR_ADDRESS``): auto-configured by
+      ``jax.distributed.initialize()``;
+    * no args, no cluster env: genuine single-process run — returns False
+      without touching JAX at all.
+
+    Failures are LOUD: if a cluster was requested (args or detected env)
+    and the group cannot form, the error propagates — silently falling back
+    would train N independent single-host jobs."""
+    if _already_initialized():
+        return True
+    explicit = any(a is not None
+                   for a in (coordinator_address, num_processes, process_id))
+    if explicit:
+        missing = [n for n, a in (("coordinator_address", coordinator_address),
+                                  ("num_processes", num_processes),
+                                  ("process_id", process_id)) if a is None]
+        if missing:
+            raise ValueError(
+                "initialize(): explicit cluster spec requires all of "
+                f"coordinator_address/num_processes/process_id; missing "
+                f"{missing}")
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return True
+    if cluster_env_detected():
+        jax.distributed.initialize()  # auto-config from the launcher env
+        return True
+    return False  # single-process: leave JAX untouched
 
 
 def process_local_slice(n: int) -> slice:

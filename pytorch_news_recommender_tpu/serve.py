@@ -152,8 +152,18 @@ class Recommender:
             shard = NamedSharding(mesh, P(axis, None))
 
             def put(t):
-                if t is None or t.shape[0] % mesh.shape[axis] != 0:
-                    return t  # uneven rows: leave replicated
+                # Rows that don't divide the mesh are zero-PADDED up to the
+                # next multiple (the top_k path already masks rows beyond
+                # n_news, and lookups never request them) — a silent
+                # replicated fallback here made `--mesh` benchmarks measure
+                # the wrong path (ADVICE r2).
+                if t is None:
+                    return t
+                pad = (-t.shape[0]) % mesh.shape[axis]
+                if pad:
+                    t = jnp.concatenate(
+                        [jnp.asarray(t),
+                         jnp.zeros((pad,) + t.shape[1:], t.dtype)], axis=0)
                 return jax.device_put(t, shard)
             if self.corpus_cache == "int8":
                 self.news_q = put(self.news_q)

@@ -172,7 +172,11 @@ class Trainer:
         matrices (GloVe words / entity vectors — the functional analogue of
         the reference's ``Embedding.from_pretrained(freeze=False)``,
         ``model/nrms.py:121-123``). Matching is by parameter path suffix +
-        exact shape, so models without the table are unaffected."""
+        exact shape. A model without the table at all is unaffected (e.g.
+        ``nrms_bert`` has no word tower), but a table whose NAME matches a
+        parameter with a DIFFERENT shape — a GloVe matrix built against
+        another vocabulary — raises instead of silently training from random
+        init (round-2 verdict weak #6)."""
         ds = self.dataset
         tables = {}
         if ds.word_embeddings is not None:
@@ -182,16 +186,34 @@ class Trainer:
         if not tables:
             return state
 
+        loaded: Dict[str, list] = {s: [] for s in tables}
+        mismatched: Dict[str, list] = {s: [] for s in tables}
+
         def maybe(path, leaf):
             name = "/".join(
                 str(getattr(k, "key", getattr(k, "name", k))) for k in path)
             for suffix, mat in tables.items():
-                if name.endswith(suffix) and tuple(leaf.shape) == mat.shape:
-                    return jax.device_put(
-                        jnp.asarray(mat, leaf.dtype), leaf.sharding)
+                if name.endswith(suffix):
+                    if tuple(leaf.shape) == mat.shape:
+                        loaded[suffix].append(name)
+                        return jax.device_put(
+                            jnp.asarray(mat, leaf.dtype), leaf.sharding)
+                    mismatched[suffix].append((name, tuple(leaf.shape)))
             return leaf
 
         params = jax.tree_util.tree_map_with_path(maybe, state.params)
+        problems = [
+            f"pretrained table '{s}' of shape {tables[s].shape} matched "
+            f"parameter {n} of shape {shp} by name but NOT by shape"
+            for s, pairs in mismatched.items() if not loaded[s]
+            for n, shp in pairs
+        ]
+        if problems:
+            raise ValueError(
+                "; ".join(problems)
+                + " — the embedding artifacts disagree with the model "
+                "config (stale GloVe matrix / wrong vocabulary?). Refusing "
+                "to train from random init silently.")
         return state.replace(params=params)
 
     def _dummy_batch(self) -> Dict[str, jnp.ndarray]:

@@ -57,6 +57,8 @@ def test_smoke_chain_and_resume(mind_root, tmp_path, capsys):
     assert verdict["target"] == harness.REFERENCE_DEV_AUC
     assert verdict["parity"] is None  # smoke runs don't claim parity
     assert (work / "artifacts" / "meta.json").exists()
+    # machine-readable verdict persisted alongside the checkpoints
+    assert json.loads((work / "verdict.json").read_text()) == verdict
 
     # second invocation: artifacts reused, checkpoint auto-resumed, same
     # verdict structure (the real-data path survives preemption this way)
@@ -71,3 +73,30 @@ def test_missing_data_is_reported(tmp_path, capsys):
     harness = _load_harness()
     rc = harness.main(["--mind-root", str(tmp_path / "nope")])
     assert rc == 2
+
+
+def test_zip_layout_and_env_autodetect(tmp_path, monkeypatch):
+    """MINDsmall_train/-style zip-extraction dirs are recognized, both via
+    --mind-root and via $MIND_ROOT auto-detection, and resolve to the
+    MIND-small target (round-2 verdict item 5)."""
+    harness = _load_harness()
+    root = tmp_path / "downloads"
+    for split, news, beh in [("MINDsmall_train", NEWS_TSV, TRAIN_BEHAVIORS),
+                             ("MINDsmall_dev", DEV_NEWS_TSV, DEV_BEHAVIORS)]:
+        d = root / split
+        d.mkdir(parents=True)
+        (d / "news.tsv").write_text(news)
+        (d / "behaviors.tsv").write_text(beh)
+
+    splits, variant = harness.find_splits(root)
+    assert variant == "small"
+    assert splits["train"].name == "MINDsmall_train"
+    assert "test" not in splits
+    assert harness.TARGETS["small"][0] == harness.SMALL_DEV_AUC
+
+    monkeypatch.setenv("MIND_ROOT", str(root))
+    found = harness.discover()
+    assert found is not None and found[1] == "small"
+
+    # a large-only request must not match the small layout
+    assert harness.find_splits(root, "large") is None

@@ -203,3 +203,32 @@ def test_grad_accumulation_matches_big_batch():
     # sum-vs-mean accumulation bug (factor 2) or a dropped micro-grad
     for a, b in zip(p_acc, p_big):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-6)
+
+
+def test_pretrained_table_loads_and_wrong_vocab_raises(cfg, dataset):
+    """_apply_pretrained contract (round-2 verdict weak #6): a GloVe matrix
+    matching the model's word table loads verbatim; one built against a
+    DIFFERENT vocabulary (shape mismatch on a name-matched parameter) raises
+    instead of silently training from random init."""
+    import dataclasses
+
+    import pytest
+
+    probe = Trainer(cfg, dataset)
+    n_words = probe.model.cfg.n_words
+    D = probe.model.cfg.word_embed_size
+    good = np.random.default_rng(0).standard_normal(
+        (int(n_words), D)).astype(np.float32)
+    good[0] = 0.0
+    ds_good = dataclasses.replace(dataset, word_embeddings=good)
+    tr = Trainer(cfg, ds_good)
+    state = tr.init_state(seed=0)
+    emb = np.asarray(
+        state.params["news_encoder"]["word_embedding"]["embedding"])
+    np.testing.assert_allclose(emb, good, rtol=1e-6)
+
+    bad = good[:-3]  # wrong-vocab GloVe: fewer rows than the artifact vocab
+    ds_bad = dataclasses.replace(dataset, word_embeddings=bad)
+    tr_bad = Trainer(cfg, ds_bad)
+    with pytest.raises(ValueError, match="NOT by shape"):
+        tr_bad.init_state(seed=0)
