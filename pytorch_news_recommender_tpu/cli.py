@@ -188,7 +188,8 @@ def cmd_preprocess_adressa(args) -> int:
     )
     ds = adressa.build_dataset(
         cfg, args.events, train_fraction=args.train_fraction,
-        dev_negatives=args.dev_negatives, seed=args.seed, out_dir=args.out)
+        dev_negatives=args.dev_negatives, seed=args.seed, out_dir=args.out,
+        news_graph_neighbors=args.graph_neighbors)
     print(f"wrote artifacts to {args.out}: {ds.meta.to_json()}")
     return 0
 
@@ -445,6 +446,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("preprocess-adressa",
                        help="Adressa event JSONL -> columnar artifacts")
+    p.add_argument("--graph-neighbors", type=int, default=0,
+                   help="build the [N, k] co-click news graph from "
+                        "train-period clicks (GNN family)")
     p.add_argument("--events", nargs="+", required=True,
                    help="event JSONL file(s)")
     p.add_argument("--train-fraction", type=float, default=0.9)

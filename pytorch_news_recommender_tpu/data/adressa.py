@@ -105,8 +105,13 @@ def build_dataset(
     dev_negatives: int = 20,
     seed: int = 2020,
     out_dir: Optional[str | pathlib.Path] = None,
+    news_graph_neighbors: int = 0,
 ) -> RecDataset:
-    """Event logs -> RecDataset with MIND-compatible batch geometry."""
+    """Event logs -> RecDataset with MIND-compatible batch geometry.
+
+    ``news_graph_neighbors > 0`` additionally builds the ``[N, k]`` co-click
+    news-news graph for the GNN family from TRAIN-period clicks only (the
+    chronological dev tail never leaks into the graph)."""
     events = read_events(event_paths, fields)
     if not events:
         raise ValueError(f"no events parsed from {list(event_paths)}")
@@ -150,6 +155,7 @@ def build_dataset(
 
     H, K = cfg.history_len, cfg.sample_size
     histories: Dict[str, List[int]] = {}
+    train_clicks: Dict[str, List[int]] = {}
     tr_browsed, tr_cand, tr_users = [], [], []
     dev_browsed, dev_users = [], []
     dev_cand_chunks, dev_label_chunks, dev_offsets = [], [], [0]
@@ -177,6 +183,8 @@ def build_dataset(
                 dev_label_chunks.append(labels)
                 dev_offsets.append(dev_offsets[-1] + len(cands))
         hist.append(idx)
+        if t <= cut:
+            train_clicks.setdefault(uid, []).append(idx)
 
     if not tr_browsed:
         raise ValueError("no train samples (check min_history / split)")
@@ -205,9 +213,13 @@ def build_dataset(
         n_train_samples=len(train),
         n_dev_impressions=len(dev) if dev is not None else 0,
     )
+    neighbors = None
+    if news_graph_neighbors:
+        neighbors = M.coclick_graph_from_histories(
+            train_clicks.values(), N, news_graph_neighbors)
     ds = RecDataset(
         news=NewsFeatures(title=title, abst=abst, categ=categ,
-                          subcateg=subcateg),
+                          subcateg=subcateg, neighbors=neighbors),
         train=train, dev=dev, test=None, meta=meta,
         dicts={"word": vocab, "news": news.index, "category": cat_dict,
                "subcategory": subcat_dict, "user": user_index},

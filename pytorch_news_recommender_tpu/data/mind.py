@@ -524,21 +524,20 @@ def build_dataset(
     return ds
 
 
-def build_coclick_graph(
-    behaviors_tsv: pathlib.Path,
-    news_index: Dict[str, int],
+def coclick_graph_from_histories(
+    histories,
     n_news: int,
     k: int,
     max_pairs_per_user: int = 50,
 ) -> np.ndarray:
-    """``[N, k]`` top co-clicked neighbors per news from train histories —
-    the offline news-news graph for the GNN family (no reference equivalent;
-    BASELINE.json config 5)."""
+    """``[N, k]`` top co-clicked neighbors per news from an iterable of
+    per-user click-id sequences — the offline news-news graph for the GNN
+    family (no reference equivalent; BASELINE.json config 5). Shared by the
+    MIND TSV path and the Adressa event-log path."""
     from collections import Counter, defaultdict
 
     co: Dict[int, Counter] = defaultdict(Counter)
-    for row in _read_tsv(behaviors_tsv, BEHAVIOR_COLS):
-        hist = [news_index.get(n, 0) for n in (row["history"] or "").split(" ")]
+    for hist in histories:
         hist = [h for h in hist if h][-max_pairs_per_user:]
         for i, a in enumerate(hist):
             for b in hist[i + 1:]:
@@ -550,3 +549,19 @@ def build_coclick_graph(
         top = [b for b, _ in counter.most_common(k)]
         out[nid, :len(top)] = top
     return out
+
+
+def build_coclick_graph(
+    behaviors_tsv: pathlib.Path,
+    news_index: Dict[str, int],
+    n_news: int,
+    k: int,
+    max_pairs_per_user: int = 50,
+) -> np.ndarray:
+    """MIND TSV wrapper over :func:`coclick_graph_from_histories`."""
+    def gen():
+        for row in _read_tsv(behaviors_tsv, BEHAVIOR_COLS):
+            yield [news_index.get(n, 0)
+                   for n in (row["history"] or "").split(" ")]
+
+    return coclick_graph_from_histories(gen(), n_news, k, max_pairs_per_user)

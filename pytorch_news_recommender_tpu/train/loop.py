@@ -198,6 +198,20 @@ class Trainer:
                         loaded[suffix].append(name)
                         return jax.device_put(
                             jnp.asarray(mat, leaf.dtype), leaf.sharding)
+                    if (mat.ndim == 2 and leaf.ndim == 2
+                            and leaf.shape[0] == mat.shape[0]
+                            and leaf.shape[1] > mat.shape[1]):
+                        # MXU-native widening (e.g. GloVe-300 into a 384-d
+                        # table, ModelConfig.word_embed_size=384): pretrained
+                        # columns load verbatim, the extra columns start at
+                        # zero and train — same rows, strictly more capacity,
+                        # zero extra MXU time (300 already pads to 384 lanes).
+                        wide = np.zeros(leaf.shape, np.float32)
+                        wide[:, : mat.shape[1]] = mat
+                        loaded[suffix].append(f"{name} (widened "
+                                              f"{mat.shape[1]}->{leaf.shape[1]})")
+                        return jax.device_put(
+                            jnp.asarray(wide, leaf.dtype), leaf.sharding)
                     mismatched[suffix].append((name, tuple(leaf.shape)))
             return leaf
 

@@ -94,3 +94,29 @@ def test_trains_a_model(events_file, cfg):
     assert np.isfinite(float(metrics["loss"]))
     m = trainer.evaluate(state)
     assert 0.0 <= m["auc"] <= 1.0
+
+
+def test_coclick_graph_train_only(events_file, cfg):
+    """news_graph_neighbors builds the GNN co-click graph from TRAIN-period
+    clicks only — dev-tail co-clicks must not leak into the neighbors."""
+    ds = adressa.build_dataset(cfg, [events_file], dev_negatives=5,
+                               news_graph_neighbors=4)
+    nb = ds.news.neighbors
+    assert nb is not None and nb.shape == (ds.meta.n_news, 4)
+    assert nb.dtype == np.int32
+    assert np.all(nb >= 0) and np.all(nb < ds.meta.n_news)
+    # some article has a neighbor (the fixture has co-clicking users)
+    assert nb.max() > 0
+
+    # leakage check: rebuilding with train_fraction=1.0 (everything train)
+    # must produce a graph with AT LEAST as many edges; with a tiny
+    # train_fraction the graph must be strictly sparser
+    ds_all = adressa.build_dataset(cfg, [events_file], dev_negatives=5,
+                                   news_graph_neighbors=4,
+                                   train_fraction=1.0)
+    ds_tiny = adressa.build_dataset(cfg, [events_file], dev_negatives=5,
+                                    news_graph_neighbors=4,
+                                    train_fraction=0.05)
+    edges = lambda a: int((a > 0).sum())
+    assert edges(ds_all.news.neighbors) >= edges(nb)
+    assert edges(ds_tiny.news.neighbors) < edges(ds_all.news.neighbors)

@@ -72,7 +72,6 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
 def test_wrapper_brings_up_two_process_group(tmp_path):
     port = _free_port()
     coord = f"127.0.0.1:{port}"

@@ -51,6 +51,8 @@ def _masked_inputs(rng, M, L, D):
     (8, 40, 64, 8, 32),     # abstract-like
     (9, 50, 96, 4, 48),     # history-like (user encoder geometry)
     (130, 20, 60, 10, 40),  # multiple grid blocks, dh=6
+    (11, 20, 128, 1, 32),   # dh=128: lane-exact head (D384-H3 analogue)
+    (10, 20, 128, 2, 48),   # dh=64 (D384-H6 analogue)
 ])
 def test_fused_encoder_matches_reference(M, L, D, H, Q):
     rng = np.random.default_rng(0)

@@ -232,3 +232,31 @@ def test_pretrained_table_loads_and_wrong_vocab_raises(cfg, dataset):
     tr_bad = Trainer(cfg, ds_bad)
     with pytest.raises(ValueError, match="NOT by shape"):
         tr_bad.init_state(seed=0)
+
+
+def test_pretrained_table_widens_into_larger_embed_dim(cfg, dataset):
+    """MXU-native widening: a 2D pretrained table with matching rows but
+    FEWER columns than the parameter (e.g. GloVe-300 into a
+    word_embed_size=384 table) loads zero-padded instead of raising."""
+    import dataclasses
+
+    from pytorch_news_recommender_tpu.config import Config
+
+    d = cfg.to_dict()
+    d["model"]["word_embed_size"] = 128
+    d["model"]["num_attention_heads"] = 4
+    d["model"]["user_heads_num"] = 4
+    cfg2 = Config.from_dict(d)
+    probe = Trainer(cfg2, dataset)
+    n_words = probe.model.cfg.n_words
+    narrow = np.random.default_rng(1).standard_normal(
+        (int(n_words), 96)).astype(np.float32)
+    narrow[0] = 0.0
+    ds2 = dataclasses.replace(dataset, word_embeddings=narrow)
+    tr = Trainer(cfg2, ds2)
+    state = tr.init_state(seed=0)
+    emb = np.asarray(
+        state.params["news_encoder"]["word_embedding"]["embedding"])
+    assert emb.shape == (n_words, 128)
+    np.testing.assert_allclose(emb[:, :96], narrow, rtol=1e-6)
+    np.testing.assert_array_equal(emb[:, 96:], 0.0)
