@@ -32,6 +32,15 @@ WORDS_PER_TOPIC = 40
 SHARED_WORDS = 30
 
 
+def _letter_word(prefix: str, i: int) -> str:
+    """Digit-free token: MIND tokenization STRIPS digits
+    (``data_processor.py:151-156`` semantics, reproduced in data/mind.py),
+    so numeric suffixes would collapse every planted word onto one token
+    and erase the signal."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    return prefix + letters[i // 26] + letters[i % 26]
+
+
 def synth_events(path: pathlib.Path, n_events: int, n_news: int,
                  n_users: int, seed: int = 0, on_topic: float = 0.85):
     """Planted-topic Adressa-style JSONL: each article belongs to a topic and
@@ -39,9 +48,10 @@ def synth_events(path: pathlib.Path, n_events: int, n_news: int,
     preferred topic with prob ``on_topic``."""
     rng = np.random.default_rng(seed)
     topic_of_news = rng.integers(0, len(TOPICS), size=n_news)
-    word_pools = [[f"w{t}_{i}" for i in range(WORDS_PER_TOPIC)]
+    word_pools = [[_letter_word(TOPICS[t][:4], i)
+                   for i in range(WORDS_PER_TOPIC)]
                   for t in range(len(TOPICS))]
-    shared = [f"felles{i}" for i in range(SHARED_WORDS)]
+    shared = [_letter_word("felles", i) for i in range(SHARED_WORDS)]
     titles = []
     for i in range(n_news):
         pool = word_pools[topic_of_news[i]]

@@ -156,6 +156,13 @@ def build_args(argv=None):
     ap.add_argument("--history-len", type=int, default=50)
     ap.add_argument("--min-history", type=int, default=5)
     ap.add_argument("--word-freq-threshold", type=int, default=3)
+    ap.add_argument("--embed-dim", type=int, default=None,
+                    help="model embedding dim (384 = MXU-aligned geometry; "
+                         "GloVe-300 loads zero-padded)")
+    ap.add_argument("--heads", type=int, default=None,
+                    help="attention heads (6/3 at --embed-dim 384 — the "
+                         "padding-tax presets; AUC delta vs the reference "
+                         "geometry is exactly what this run would measure)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the fused Pallas kernels (required off-TPU)")
     ap.add_argument("--compute-dtype", default=None)
@@ -228,6 +235,10 @@ def main(argv=None) -> int:
         tr += ["--sample-size", str(args.sample_size)]
     if args.no_pallas:
         tr += ["--no-pallas"]
+    if args.embed_dim:
+        tr += ["--embed-dim", str(args.embed_dim)]
+    if args.heads:
+        tr += ["--heads", str(args.heads)]
     if args.compute_dtype:
         tr += ["--compute-dtype", args.compute_dtype]
     rc = cli.main(tr)
@@ -262,6 +273,8 @@ def main(argv=None) -> int:
         "parity": bool(delta >= -args.tolerance),
         "variant": variant,
         "model": args.model,
+        "embed_dim": args.embed_dim,
+        "heads": args.heads,
         "smoke": bool(args.smoke),
         **{k: round(float(v), 6) for k, v in metrics.items() if k != "auc"},
     }

@@ -151,7 +151,7 @@ def measure_encoder(D: int, H: int, M: int = 12288, L: int = 20, Q: int = 200):
     return out
 
 
-def quality_run(cfg, epochs: int = 3):
+def quality_run(cfg, epochs: int = 3, seed: int = 0):
     """Planted-synthetic NRMS learnability at this geometry (same battery
     shape as benchmarks/quality_sweep.py)."""
     import dataclasses
@@ -164,7 +164,8 @@ def quality_run(cfg, epochs: int = 3):
     ds = synthetic.generate(cfg.data, seed=7, n_train=2048, n_dev=192,
                             title_len=(11.5, 3.5))
     tr = Trainer(cfg, ds)
-    state, _ = tr.fit(num_epochs=epochs, eval_each_epoch=False)
+    state = tr.init_state(seed=seed)
+    state, _ = tr.fit(state, num_epochs=epochs, eval_each_epoch=False)
     return tr.evaluate(state)
 
 
@@ -172,10 +173,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--quality", action="store_true",
-                    help="also run the 3-epoch planted-synthetic check per "
-                         "geometry")
+                    help="also run the planted-synthetic check per geometry")
+    ap.add_argument("--quality-epochs", type=int, default=3)
+    ap.add_argument("--quality-seeds", type=int, default=1,
+                    help="average the planted check over this many init "
+                         "seeds (decision-grade quality comparison)")
     ap.add_argument("--skip-step", action="store_true",
-                    help="encoder-kernel sweep only (no full train step)")
+                    help="no full train step measurement")
+    ap.add_argument("--skip-encoder", action="store_true",
+                    help="no isolated encoder-kernel measurement")
     ap.add_argument("--geos", nargs="*", default=None,
                     help="subset of geometry labels")
     args = ap.parse_args()
@@ -194,12 +200,13 @@ def main():
             continue
         cfg = make_cfg(D, H, args.batch)
         rec = {"geometry": label, "D": D, "H": H, "dh": D // H}
-        t0 = time.perf_counter()
-        enc = measure_encoder(D, H)
-        rec["enc_fwd_ms"] = round(enc["fwd"], 2)
-        rec["enc_fwdbwd_ms"] = round(enc["fwdbwd"], 2)
-        log(f"{label}: encoder fwd {enc['fwd']:.2f} ms, fwd+bwd "
-            f"{enc['fwdbwd']:.2f} ms ({time.perf_counter()-t0:.0f}s)")
+        if not args.skip_encoder:
+            t0 = time.perf_counter()
+            enc = measure_encoder(D, H)
+            rec["enc_fwd_ms"] = round(enc["fwd"], 2)
+            rec["enc_fwdbwd_ms"] = round(enc["fwdbwd"], 2)
+            log(f"{label}: encoder fwd {enc['fwd']:.2f} ms, fwd+bwd "
+                f"{enc['fwdbwd']:.2f} ms ({time.perf_counter()-t0:.0f}s)")
         if not args.skip_step:
             ds = synthetic.generate(cfg.data, seed=0, n_news=50000,
                                     vocab_size=45800,
@@ -214,11 +221,18 @@ def main():
                 f"({time.perf_counter()-t0:.0f}s)")
         if args.quality:
             t0 = time.perf_counter()
-            m = quality_run(cfg)
-            rec["auc_3ep"] = round(float(m["auc"]), 4)
-            rec["ndcg10_3ep"] = round(float(m["ndcg@10"]), 4)
-            log(f"{label}: planted AUC@3ep {rec['auc_3ep']} "
-                f"({time.perf_counter()-t0:.0f}s)")
+            aucs, ndcgs = [], []
+            for s in range(args.quality_seeds):
+                m = quality_run(cfg, epochs=args.quality_epochs, seed=s)
+                aucs.append(float(m["auc"]))
+                ndcgs.append(float(m["ndcg@10"]))
+            E = args.quality_epochs
+            rec[f"auc_{E}ep"] = round(float(np.mean(aucs)), 4)
+            rec[f"auc_{E}ep_seeds"] = [round(a, 4) for a in aucs]
+            rec[f"ndcg10_{E}ep"] = round(float(np.mean(ndcgs)), 4)
+            log(f"{label}: planted AUC@{E}ep {rec[f'auc_{E}ep']} "
+                f"(seeds {rec[f'auc_{E}ep_seeds']}, "
+                f"{time.perf_counter()-t0:.0f}s)")
         print(json.dumps(rec), flush=True)
         rows.append(rec)
 
@@ -228,7 +242,8 @@ def main():
         for r in rows:
             rel = (base.get("step_ms", 0) / r["step_ms"]
                    if r.get("step_ms") else float("nan"))
-            log(f"{r['geometry']:<16} {r['enc_fwdbwd_ms']:>8.2f} ms "
+            log(f"{r['geometry']:<16} "
+                f"{r.get('enc_fwdbwd_ms', float('nan')):>8.2f} ms "
                 f"{r.get('step_ms', float('nan')):>7.2f} ms  {rel:>5.2f}x")
 
 

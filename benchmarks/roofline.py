@@ -73,6 +73,12 @@ def fmt_row(name, ms, gflop, gbytes, peaks):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--embed-dim", type=int, default=300,
+                    help="word embed dim D (384 = MXU-aligned geometry, "
+                         "benchmarks/padding_tax.py)")
+    ap.add_argument("--heads", type=int, default=10,
+                    help="attention heads H (dh = D/H; 3 at D=384 gives "
+                         "lane-exact dh=128)")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +98,8 @@ def main():
     # measured dedup width is ~12288 unique news at batch 512; scale
     # proportionally (rounded up to the kernel's 256-row grid block)
     M = -(-12288 * B // 512) // 256 * 256 or 256
-    L, D, Q, H = 20, 300, 200, 10
+    L, D, Q, H = 20, args.embed_dim, 200, args.heads
+    assert D % H == 0, (D, H)
     T = M * L
     V = 45800
 

@@ -44,6 +44,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 (default on TPU) or float32")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="model-axis size of the device mesh")
+    p.add_argument("--embed-dim", type=int, default=None,
+                   help="word embedding dim D (default 300 = reference "
+                        "parity; 384 = MXU-aligned, GloVe loads zero-padded "
+                        "— see docs/DESIGN.md geometry table)")
+    p.add_argument("--heads", type=int, default=None,
+                   help="news/user attention heads H (default 10 = "
+                        "reference; 6 or 3 at --embed-dim 384 cut the "
+                        "dh->128 contraction padding: +26%% / +42%% step "
+                        "throughput measured)")
 
 
 def _load_dataset(args, cfg):
@@ -70,6 +79,11 @@ def _build_config(args, sample_size=None):
         d["model"]["use_pallas"] = False
     if args.compute_dtype:
         d["model"]["compute_dtype"] = args.compute_dtype
+    if getattr(args, "embed_dim", None):
+        d["model"]["word_embed_size"] = args.embed_dim
+    if getattr(args, "heads", None):
+        d["model"]["num_attention_heads"] = args.heads
+        d["model"]["user_heads_num"] = args.heads
     if args.batch_size:
         d["train"]["batch_size"] = args.batch_size
     if args.eval_batch_size:

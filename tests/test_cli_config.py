@@ -1,0 +1,35 @@
+"""CLI flag -> Config plumbing (no training; fast contract tier)."""
+
+import argparse
+
+from pytorch_news_recommender_tpu import cli
+
+
+def _args(**over):
+    base = dict(data="synthetic", model="nrms", batch_size=None,
+                eval_batch_size=None, no_pallas=False, compute_dtype=None,
+                model_parallel=1, embed_dim=None, heads=None)
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_geometry_flags_reach_model_config():
+    cfg = cli._build_config(_args(embed_dim=384, heads=6))
+    assert cfg.model.word_embed_size == 384
+    assert cfg.model.num_attention_heads == 6
+    assert cfg.model.user_heads_num == 6
+
+
+def test_geometry_defaults_are_reference_dims():
+    # non-synthetic data path starts from the reference-parity Config()
+    cfg = cli._build_config(_args(data="artifacts"))
+    assert cfg.model.word_embed_size == 300
+    assert cfg.model.num_attention_heads == 10
+
+
+def test_batch_and_dtype_flags():
+    cfg = cli._build_config(_args(batch_size=128, compute_dtype="float32",
+                                  no_pallas=True))
+    assert cfg.train.batch_size == 128
+    assert cfg.model.compute_dtype == "float32"
+    assert cfg.model.use_pallas is False
