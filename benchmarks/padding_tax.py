@@ -48,7 +48,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_cfg(D: int, H: int, batch: int):
+def make_cfg(D: int, H: int, batch: int, freeze: bool = False):
     from pytorch_news_recommender_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
     )
@@ -57,6 +57,7 @@ def make_cfg(D: int, H: int, batch: int):
         model=ModelConfig(
             word_embed_size=D, num_attention_heads=H, user_heads_num=H,
             query_vector_dim=200, compute_dtype="bfloat16", use_pallas=True,
+            freeze_word_embeddings=freeze,
         ),
         train=TrainConfig(batch_size=batch),
     )
@@ -184,6 +185,10 @@ def main():
                     help="no isolated encoder-kernel measurement")
     ap.add_argument("--geos", nargs="*", default=None,
                     help="subset of geometry labels")
+    ap.add_argument("--freeze", action="store_true",
+                    help="freeze the word table "
+                         "(from_pretrained(freeze=True) parity mode) — "
+                         "removes the scatter-add backward entirely")
     args = ap.parse_args()
 
     import jax
@@ -198,8 +203,9 @@ def main():
     for label, D, H in GEOMETRIES:
         if args.geos and label not in args.geos:
             continue
-        cfg = make_cfg(D, H, args.batch)
-        rec = {"geometry": label, "D": D, "H": H, "dh": D // H}
+        cfg = make_cfg(D, H, args.batch, freeze=args.freeze)
+        rec = {"geometry": label, "D": D, "H": H, "dh": D // H,
+               "freeze": bool(args.freeze)}
         if not args.skip_encoder:
             t0 = time.perf_counter()
             enc = measure_encoder(D, H)

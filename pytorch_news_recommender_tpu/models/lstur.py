@@ -84,6 +84,7 @@ class MaskedGRU(nn.Module):
     """GRU over ``[B, T, D]`` whose carry only advances on valid steps."""
 
     features: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array,
@@ -91,12 +92,17 @@ class MaskedGRU(nn.Module):
         def step(cell, carry, inputs):
             xt, mt = inputs
             new_carry, _ = cell(carry, xt)
+            # scan carries must keep one dtype: with f32 params and a bf16
+            # carry the cell's output promotes to f32 (the bfloat16 crash
+            # the Adressa battery caught on hardware) — pin it back
+            new_carry = new_carry.astype(carry.dtype)
             carry = jnp.where(mt[:, None] > 0, new_carry, carry)
             return carry, ()
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=1, out_axes=1)
-        cell = nn.GRUCell(self.features, name="cell")
+        cell = nn.GRUCell(self.features, dtype=jnp.dtype(self.compute_dtype),
+                          name="cell")
         final, _ = scan(cell, init_carry, (x, mask))
         return final
 
@@ -130,7 +136,7 @@ class LSTUR(RecModel):
         n_users = max(c.n_users, 1)
         self.user_embedding = PadEmbedding(
             n_users, self.user_embed_dim, c.compute_dtype)
-        self.gru = MaskedGRU(self.gru_dim)
+        self.gru = MaskedGRU(self.gru_dim, c.compute_dtype)
 
     def encode_news_feats(self, feats: Batch,
                           deterministic: bool = True) -> jax.Array:

@@ -70,3 +70,26 @@ def test_warmup_schedule():
     assert deltas[0] < deltas[5] < deltas[9]
     # post warm-up, Adam at constant base LR -> stable magnitude
     assert abs(deltas[10] - deltas[11]) < 1e-5
+
+
+def test_lstur_bfloat16_compute_dtype(full_dataset):
+    """LSTUR under compute_dtype=bfloat16: the GRU scan carry must keep one
+    dtype (f32 cell outputs against a bf16 carry crashed the init on
+    hardware — caught by the Adressa battery, round 3)."""
+    import jax
+
+    from pytorch_news_recommender_tpu.config import Config, synthetic_config
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    d = synthetic_config().to_dict()
+    d["model"]["name"] = "lstur"
+    d["model"]["compute_dtype"] = "bfloat16"
+    d["train"]["batch_size"] = 8
+    trainer = Trainer(Config.from_dict(d), full_dataset)
+    state = trainer.init_state(seed=0)
+    from pytorch_news_recommender_tpu.data.loader import train_batches
+    import numpy as np
+    batch = next(train_batches(full_dataset.train, 8,
+                               np.random.default_rng(0)))
+    state, m = trainer.run_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
