@@ -139,6 +139,15 @@ def main(mesh_size: int = 0, force_cpu: bool = False, corpus: int = 50000):
         mcfg = _dc.replace(cfg.mesh, model_parallel_size=1)
         mesh = make_mesh(mcfg, devices=jax.devices()[:mesh_size])
         rec_m = Recommender(cfg, ds, state.params, mesh=mesh)
+        # The corpus cache must ACTUALLY be row-sharded (serve.put pads rows
+        # to the mesh; a replicated fallback here would silently measure the
+        # wrong path — ADVICE r2):
+        axis = mesh.axis_names[0]
+        spec = rec_m.news_vecs.sharding.spec
+        assert len(spec) >= 1 and spec[0] == axis, (
+            f"corpus cache not sharded: spec={spec}")
+        print(f"corpus cache sharding: spec={tuple(spec)} over "
+              f"{mesh_size} devices (rows padded to multiple)", flush=True)
         ids_m, _ = rec_m.top_k(hist, k=10)  # compile
         recall_m = len(set(map(int, ids_f)) & set(map(int, ids_m))) / 10
         times = {}
