@@ -163,6 +163,29 @@ def main(mesh_size: int = 0, force_cpu: bool = False, corpus: int = 50000):
               f"{recall_m:.2f}", flush=True)
         del rec_m
 
+        # int8 + mesh COMPOSITION: the quantized corpus cache row-shards the
+        # same way (4x smaller per-device residency AND N-way split)
+        rec_m8 = Recommender(cfg, ds, state.params, corpus_cache="int8",
+                             mesh=mesh)
+        spec8 = rec_m8.news_q.sharding.spec
+        assert len(spec8) >= 1 and spec8[0] == axis, (
+            f"int8 cache not sharded: spec={spec8}")
+        ids_m8, _ = rec_m8.top_k(hist, k=10)  # compile
+        recall_m8 = len(set(map(int, ids_f)) & set(map(int, ids_m8))) / 10
+        times = {}
+        for N in (5, 25):
+            t0 = time.perf_counter()
+            for _ in range(N):
+                rec_m8.top_k(hist, k=10)
+            times[N] = time.perf_counter() - t0
+        ms = (times[25] - times[5]) / 20 * 1e3
+        per_dev = rec_m8.news_q.shape[0] // mesh_size
+        print(f"top_k(10) int8 sharded over {mesh_size} {kind} devices: "
+              f"{ms:.2f} ms/request; {per_dev} int8 rows/device; "
+              f"recall@10 vs native single-device {recall_m8:.2f}",
+              flush=True)
+        del rec_m8
+
     http_load(rec, hist, n)
 
 

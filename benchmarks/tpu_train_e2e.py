@@ -39,6 +39,9 @@ def main():
                     help="eval every N steps (0 = epoch ends only)")
     ap.add_argument("--ckpt-dir", default=None,
                     help="Orbax checkpoint dir (default: temp dir)")
+    ap.add_argument("--embed-dim", type=int, default=300,
+                    help="384 = MXU-aligned preset (DESIGN.md geometry)")
+    ap.add_argument("--heads", type=int, default=10)
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,8 @@ def main():
     cfg = Config(
         data=DataConfig(dataset="synthetic"),
         model=ModelConfig(
-            word_embed_size=300, num_attention_heads=10, user_heads_num=10,
+            word_embed_size=args.embed_dim,
+            num_attention_heads=args.heads, user_heads_num=args.heads,
             query_vector_dim=200, compute_dtype="bfloat16", use_pallas=True,
         ),
         train=TrainConfig(batch_size=args.batch, eval_batch_size=256,
