@@ -636,21 +636,28 @@ class Trainer:
             nonlocal best_auc, best_step, stop
             if self.dataset.dev is None or len(self.dataset.dev) == 0:
                 return None
+            t_ev = time.time()
             m = self.evaluate(state)
+            # eval/checkpoint wall is first-class in the log: non-step time
+            # through tunneled backends varies day to day (measured ~2-4x),
+            # and schedule-wall regressions are undiagnosable without it
+            m["eval_s"] = round(time.time() - t_ev, 2)
             m["tag"] = tag
             m["step"] = step_i
             history.append(m)
-            log(m)
             if m["auc"] > best_auc:
                 best_auc = m["auc"]
                 best_step = step_i
                 if checkpoint_cb is not None:
+                    t_ck = time.time()
                     checkpoint_cb(state, m, step_i)
+                    m["ckpt_s"] = round(time.time() - t_ck, 2)
             elif (cfg.train.require_improvement
                   and step_i - best_step >= cfg.train.require_improvement):
                 stop = True
                 log({"tag": "early_stop", "step": step_i,
                      "best_step": best_step, "best_auc": best_auc})
+            log(m)
             return m
 
         from pytorch_news_recommender_tpu.data.prefetch import device_prefetch
