@@ -66,8 +66,7 @@ def _load_dataset(args, cfg):
 
 def _build_config(args, sample_size=None):
     from pytorch_news_recommender_tpu.config import (
-        Config, DataConfig, MeshConfig, ModelConfig, TrainConfig,
-        synthetic_config,
+        Config, DataConfig, synthetic_config,
     )
     if args.data == "synthetic":
         cfg = synthetic_config()

@@ -16,7 +16,7 @@ consumes either.
 from __future__ import annotations
 
 import pathlib
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

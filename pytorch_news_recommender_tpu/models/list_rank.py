@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from pytorch_news_recommender_tpu.config import ModelConfig
 from pytorch_news_recommender_tpu.models.common import Batch, RecModel
 from pytorch_news_recommender_tpu.models.layers import (
-    AttentionPoolTower,
     MultiHeadSelfAttention,
     PadEmbedding,
     PositionwiseFeedForward,

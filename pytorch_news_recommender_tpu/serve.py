@@ -31,7 +31,6 @@ the float cache is recall@10 = 1.00 on the synthetic corpus
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Sequence
 
 import jax

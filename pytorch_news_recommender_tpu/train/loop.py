@@ -11,9 +11,8 @@ device mesh (batch sharded on ``data``, embedding rows shardable on
 
 from __future__ import annotations
 
-import dataclasses
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Optional
 
 import flax
 import jax

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax
 import numpy as np
 
 
