@@ -2,7 +2,6 @@
 dominant cost. Each variant keeps the same input pipeline and output shape.
 """
 
-import functools
 import time
 
 import jax

@@ -11,7 +11,6 @@ Run: python benchmarks/profile_step.py [--batch 512]
 from __future__ import annotations
 
 import argparse
-import functools
 import pathlib
 import sys
 import time

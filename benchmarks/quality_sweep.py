@@ -31,7 +31,6 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
 
     from pytorch_news_recommender_tpu import models as M
     from pytorch_news_recommender_tpu.config import Config, synthetic_config

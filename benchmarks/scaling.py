@@ -54,7 +54,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
     import numpy as np
 
     from pytorch_news_recommender_tpu.config import (

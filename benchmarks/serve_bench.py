@@ -39,7 +39,6 @@ def main(mesh_size: int = 0, force_cpu: bool = False, corpus: int = 50000):
         # The hosted axon TPU plugin overrides JAX_PLATFORMS from the
         # environment; pin via config before the backend initializes.
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from pytorch_news_recommender_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
