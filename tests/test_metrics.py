@@ -51,3 +51,43 @@ def test_aggregate_skips_single_class():
     scores = [np.array([1.0, 0.0]), np.array([0.3, 0.1])]
     out = M.aggregate_metrics(labels, scores)
     assert out["auc"] == 1.0  # second impression contributes NaN, skipped
+
+
+def test_vectorized_aggregate_matches_loop():
+    """The grouped/vectorized aggregate_metrics must match the scalar
+    per-impression path exactly — ties, degenerate impressions (all-pos /
+    all-neg), and sub-k widths included."""
+    import numpy as np
+
+    from pytorch_news_recommender_tpu.train import metrics as M
+
+    rng = np.random.default_rng(3)
+    labels, scores = [], []
+    for i in range(400):
+        w = int(rng.integers(2, 35))
+        y = (rng.random(w) < 0.25).astype(np.float64)
+        s = rng.standard_normal(w).astype(np.float32)
+        if i % 7 == 0:
+            s[: w // 2] = s[0]          # heavy score ties
+        if i % 11 == 0:
+            y[:] = 1.0                  # all-positive -> NaN AUC
+        if i % 13 == 0:
+            y[:] = 0.0                  # all-negative -> NaN everything
+        labels.append(y)
+        scores.append(s)
+    fast = M.aggregate_metrics(labels, scores)
+    slow = M.aggregate_metrics_loop(labels, scores, parallel=False)
+    for k in ("auc", "mrr", "ndcg@5", "ndcg@10"):
+        np.testing.assert_allclose(fast[k], slow[k], rtol=1e-12, atol=1e-12)
+
+
+def test_ranks_2d_matches_scalar_ranks():
+    import numpy as np
+
+    from pytorch_news_recommender_tpu.train import metrics as M
+
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 6, size=(50, 17)).astype(np.float64)  # many ties
+    got = M._ranks_2d(s)
+    for i in range(len(s)):
+        np.testing.assert_array_equal(got[i], M._average_ranks(s[i]))
