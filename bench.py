@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import pathlib
 import sys
 import time
@@ -52,7 +53,7 @@ CACHE_PATH = ROOT / "benchmarks" / "bench_cache.json"
 # Soft wall-clock budget (s). Optional sections (kernel checks on a cache
 # miss) are skipped when they could push the run past this; the headline
 # JSON is printed long before it is reached.
-DEADLINE = 480.0
+DEADLINE = float(os.environ.get("BENCH_DEADLINE_SECS", 480.0))
 
 
 def log(*a):
