@@ -268,18 +268,31 @@ class AttentionPoolTower(nn.Module):
             from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
                 fused_news_encoder_diff,
             )
+            from pytorch_news_recommender_tpu.parallel.sharded_embedding import (
+                active_mesh,
+            )
             if rate > 0.0:
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
                     dtype=jnp.int32)
             else:
                 seed = jnp.int32(0)
+            # Data-parallel composition: with a registered multi-device mesh
+            # the kernel MUST run under shard_map over the data axis — an
+            # unwrapped pallas_call is opaque to the SPMD partitioner, which
+            # silently replicates it (all-gathers the [M, L, D] block).
+            # make_mesh always puts the data axis first (parallel/mesh.py).
+            mesh = active_mesh()
+            data_axis = (mesh.axis_names[0]
+                         if mesh is not None and mesh.size > 1 else None)
             out = fused_news_encoder_diff(
                 x2.astype(cd), mask2,
                 wqkv.astype(cd), bqkv.astype(cd), wo.astype(cd),
                 bo.astype(cd), aw.astype(cd), ab.astype(cd), aq.astype(cd),
                 num_heads=self.num_heads, dropout_rate=rate, seed=seed,
-                interpret=self.pallas_interpret)
+                interpret=self.pallas_interpret,
+                mesh=mesh if data_axis is not None else None,
+                data_axis=data_axis)
         else:
             h = A.multi_head_self_attention(
                 x2.astype(cd), wqkv.astype(cd), bqkv.astype(cd),

@@ -587,6 +587,105 @@ def _bwd_pallas_call(
 
 
 @functools.lru_cache(maxsize=None)
+def _make_sharded_diff_encoder(mesh, axis, num_heads, dropout_rate,
+                               block_news, pack_news, interpret):
+    """Differentiable fused encoder mapped over the ``axis`` mesh axis with
+    ``shard_map`` — the data-parallel composition of the kernel.
+
+    Without this, XLA's SPMD partitioner treats the ``pallas_call`` as an
+    opaque custom call and REPLICATES it: the ``[M, L, D]`` token block is
+    all-gathered onto every device and the kernel runs redundantly
+    (measured on the 8-device virtual mesh — the compiled module contains
+    ``all-gather`` ops on the token block and the output comes back with a
+    replicated sharding). The batch dim is embarrassingly parallel — the
+    kernel is already grid-over-blocks — so each device runs the kernel on
+    its own ``M / n_data`` rows and no token ever crosses ICI.
+
+    The wrapper is a custom VJP at the shard_map level (the kernel's own
+    ``pallas_call``s carry no varying-mesh-axis metadata, so autodiff
+    through ``shard_map(check_vma=True)`` is unavailable): the forward
+    shard_maps the forward kernel, the backward shard_maps the backward
+    kernel and ``psum``s ONLY the weight grads over ``axis`` (dx stays
+    sharded). Weights are replicated over every other mesh axis, so their
+    out-spec ``P()`` is exact. Each device folds ``axis_index`` into the
+    dropout seed — identical in fwd and bwd, so the regenerated mask
+    bit-matches — giving distinct dropout streams per shard.
+
+    Callers must pass an ``M`` divisible by ``mesh.shape[axis]``
+    (``fused_news_encoder_diff`` pads and slices around this).
+    """
+    kw = dict(num_heads=num_heads, dropout_rate=dropout_rate,
+              block_news=block_news, pack_news=pack_news, interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+
+    def _fold_seed(seed):
+        return seed + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+            1_000_003)
+
+    w_specs = (P(),) * 7  # wqkv, bqkv, wo, bo, aw, ab, aq
+
+    @jax.custom_vjp
+    def fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
+        def body(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
+            return fused_news_encoder(
+                x, mask, wqkv, bqkv, wo, bo, aw, ab, aq,
+                seed=_fold_seed(seed), **kw)
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None)) + w_specs + (P(),),
+            out_specs=P(axis, None), check_vma=False,
+        )(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+
+    def fwd(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
+        def body(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
+            return fused_news_encoder(
+                x, mask, wqkv, bqkv, wo, bo, aw, ab, aq,
+                seed=_fold_seed(seed), save_o1=True, **kw)
+        out, o1res = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None)) + w_specs + (P(),),
+            out_specs=(P(axis, None), P(axis, None, None)), check_vma=False,
+        )(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+        return out, (x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+
+    def bwd(res, g):
+        x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed = res
+
+        def body(g, x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed):
+            outs = _bwd_pallas_call(
+                g, x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq,
+                _fold_seed(seed), **kw)
+            dx = outs[0]
+            # weight grads: per-shard partials -> full grads, replicated
+            # over `axis`; already replicated over the other mesh axes
+            # (every model-axis shard computed the identical partial)
+            return (dx, *(jax.lax.psum(d, axis) for d in outs[1:]))
+
+        outs = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
+                      P(axis, None, None)) + w_specs + (P(),),
+            out_specs=(P(axis, None, None),) + (P(),) * 7, check_vma=False,
+        )(g, x, mask, o1res, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+        dx, dwqkv, dbqkv, dwo, dbo, daw, dab, daq = outs
+        import numpy as np
+        zero_seed = np.zeros(np.shape(seed), jax.dtypes.float0)
+        return (dx,
+                jnp.zeros_like(mask),
+                dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+                dwo.astype(wo.dtype),
+                dbo.reshape(bo.shape).astype(bo.dtype),
+                daw.astype(aw.dtype),
+                dab.reshape(ab.shape).astype(ab.dtype),
+                daq.reshape(aq.shape).astype(aq.dtype),
+                zero_seed)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
 def _make_diff_encoder(num_heads, dropout_rate, block_news, pack_news,
                        interpret):
     """Builds a differentiable fused encoder for one static config."""
@@ -629,11 +728,32 @@ def _make_diff_encoder(num_heads, dropout_rate, block_news, pack_news,
 def fused_news_encoder_diff(
     x, mask, wqkv, bqkv, wo, bo, aw, ab, aq,
     *, num_heads, dropout_rate=0.0, seed=0, block_news=64, pack_news=None,
-    interpret=False,
+    interpret=False, mesh=None, data_axis=None,
 ):
     """Differentiable fused encoder (custom VJP with a fused backward
-    kernel). ``seed`` may be a traced int32 scalar; its cotangent is float0."""
-    fn = _make_diff_encoder(num_heads, float(dropout_rate), block_news,
-                            pack_news, interpret)
-    return fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq,
-              jnp.asarray(seed, jnp.int32))
+    kernel). ``seed`` may be a traced int32 scalar; its cotangent is float0.
+
+    With ``mesh``/``data_axis`` and a >1-wide data axis, the kernel is
+    shard_mapped over that axis (each device encodes its own news rows; see
+    ``_make_sharded_diff_encoder``) — REQUIRED for data-parallel execution:
+    an unwrapped ``pallas_call`` is replicated by the SPMD partitioner, which
+    all-gathers the whole ``[M, L, D]`` token block to every device. ``M``
+    is padded to the axis size here (pad rows are fully masked; their output
+    rows are sliced away, so they contribute zero to every gradient)."""
+    seed = jnp.asarray(seed, jnp.int32)
+    n = int(mesh.shape[data_axis]) if (
+        mesh is not None and data_axis is not None) else 1
+    if n <= 1:
+        fn = _make_diff_encoder(num_heads, float(dropout_rate), block_news,
+                                pack_news, interpret)
+        return fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+    fn = _make_sharded_diff_encoder(
+        mesh, data_axis, num_heads, float(dropout_rate), block_news,
+        pack_news, interpret)
+    M = x.shape[0]
+    M_pad = -(-M // n) * n
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, M_pad - M), (0, 0)))
+    out = fn(x, mask, wqkv, bqkv, wo, bo, aw, ab, aq, seed)
+    return out[:M] if M_pad != M else out
