@@ -35,6 +35,24 @@ def test_kernel_source_hash_is_deterministic_and_tracks_ops():
         "re-run `python bench.py --refresh` on the TPU host and commit")
 
 
+def test_pkg_source_hash_keys_baseline():
+    """The baseline cache entry must be keyed by the package source hash
+    (round-3 ADVICE medium: the baseline path executes this repo's model/
+    train code, so source changes must invalidate the cached ms_per_step).
+    Unlike the kernel token, freshness is NOT asserted here: a pkg_hash
+    mismatch re-measures the baseline before the headline print (safe, just
+    slower), so a stale entry cannot skew the artifact."""
+    bench = _load_bench()
+    h1 = bench._pkg_source_hash()
+    assert h1 == bench._pkg_source_hash()
+    assert len(h1) == 16 and int(h1, 16) >= 0
+    assert h1 != bench._kernel_source_hash()   # distinct scopes
+    cache = json.loads(bench.CACHE_PATH.read_text())
+    assert "pkg_hash" in cache["baseline"], (
+        "committed baseline entry predates pkg_hash keying — re-run "
+        "`python bench.py --refresh` on the TPU host and commit")
+
+
 def test_cache_roundtrip(tmp_path, monkeypatch):
     bench = _load_bench()
     monkeypatch.setattr(bench, "CACHE_PATH", tmp_path / "c.json")
