@@ -112,6 +112,72 @@ class GNNRec(RecModel):
     # short/long criterion never checked — truncation would be lossy.
     LENGTH_SPLIT_OK = False
 
+    # Trainer wires ``loader.add_gnn_frontier`` into the host feed: batches
+    # then carry the deduplicated neighborhood closure and the title tower
+    # runs once per DISTINCT news in it (vs 1+K+K^2 encodes per unique news
+    # on the recursive fallback path).
+    WANTS_GNN_FRONTIER = True
+    # Eval/serving corpus encode runs level-wise over the whole table
+    # (titles once, then one GAT pass per layer) instead of per-chunk
+    # recursive expansion — Trainer.compute_news_vectors.
+    CORPUS_LEVELWISE = True
+
+    def __call__(self, batch: Batch, news_feats: Batch,
+                 deterministic: bool = True) -> jax.Array:
+        if "gnn_frontier_ids" in batch:
+            unique_ids = batch["unique_ids"]
+            uvecs = self._encode_frontier(batch, news_feats, deterministic)
+            browsed_ids = jnp.take(unique_ids, batch["browsed_idx"], axis=0)
+            cand_ids = jnp.take(unique_ids, batch["candidate_idx"], axis=0)
+            browsed_vecs = jnp.take(uvecs, batch["browsed_idx"], axis=0)
+            cand_vecs = jnp.take(uvecs, batch["candidate_idx"], axis=0)
+            return self.score_impression(batch, browsed_ids, cand_ids,
+                                         browsed_vecs, cand_vecs, news_feats,
+                                         deterministic)
+        return super().__call__(batch, news_feats, deterministic)
+
+    def _encode_frontier(self, batch: Batch, news_feats: Batch,
+                         deterministic: bool) -> jax.Array:
+        """Frontier-deduplicated encode: titles once for the whole closure,
+        then the GAT stack level-wise with position gathers. Produces values
+        identical to the recursive path (``tests/test_gnn_frontier.py``):
+        level ``l`` is garbage on nodes deeper than ``depth - l`` (their
+        out-of-closure neighbors are masked), but those entries are never
+        gathered by any shallower level."""
+        fids = batch["gnn_frontier_ids"]                  # [F]
+        nbr_pos = batch["gnn_nbr_pos"]                    # [F, K]
+        T = self.news_encoder(
+            jnp.take(news_feats["title"], fids, axis=0), deterministic)
+        neigh_ids = jnp.take(fids, nbr_pos, axis=0)       # [F, K]
+        mask = (neigh_ids != 0).astype(jnp.float32)
+        h = T
+        # deepest layer first: h_1 = gat[L-1](T, T[nbr]), ...,
+        # h_L = gat[0](T, h_{L-1}[nbr]) — the same per-depth layer
+        # assignment as the recursive node_repr
+        for layer in reversed(self.gat_layers):
+            h = layer(T, jnp.take(h, nbr_pos, axis=0), mask)
+        return jnp.take(h, batch["gnn_self_pos"], axis=0)  # [U, D]
+
+    # ---- corpus-level-wise eval/serving encode (Trainer hooks) ----
+    def encode_title_ids(self, ids: jax.Array, news_feats: Batch,
+                         deterministic: bool = True) -> jax.Array:
+        """Title tower only (level-0 representations)."""
+        return self.news_encoder(
+            jnp.take(news_feats["title"], ids, axis=0), deterministic)
+
+    def gat_chunk(self, ids: jax.Array, titles_tab: jax.Array,
+                  h_prev: jax.Array, news_feats: Batch,
+                  layer_idx: int) -> jax.Array:
+        """One GAT level for a chunk of news ids, gathering neighbor
+        representations from the FULL previous-level table (indexed by news
+        id — the corpus table needs no frontier remap)."""
+        neigh = jnp.take(news_feats["neighbors"], ids, axis=0)
+        neigh = neigh * (ids != 0)[..., None]
+        mask = (neigh != 0).astype(jnp.float32)
+        return self.gat_layers[layer_idx](
+            jnp.take(titles_tab, ids, axis=0),
+            jnp.take(h_prev, neigh, axis=0), mask)
+
     def encode_news_ids(self, ids: jax.Array, news_feats: Batch,
                         deterministic: bool = True,
                         feat_trunc=None) -> jax.Array:

@@ -117,6 +117,16 @@ class Trainer:
         self._score_fns: Dict[Any, Callable] = {}
         self._state_shardings = None
         self._length_split = self._make_length_split()
+        # GNN frontier dedup: the host attaches the deduplicated
+        # neighborhood closure to each dedup batch (loader.add_gnn_frontier)
+        # so the title tower runs once per distinct news in the closure.
+        # Single-process feed only: the sliced (multi-host) feed keeps the
+        # recursive fallback (per-process frontier blocks with global
+        # offsets are future work).
+        self._frontier_depth = 0
+        if (getattr(self.model, "WANTS_GNN_FRONTIER", False)
+                and dataset.news.neighbors is not None):
+            self._frontier_depth = int(self.model_cfg.gnn_layers)
         # Multi-process SPMD feed: every process holds the full dataset and
         # computes the same shuffled permutation; each feeds only its slice
         # of every global batch (loader.train_batches_sliced) and the slices
@@ -434,7 +444,19 @@ class Trainer:
 
         return wrapped
 
+    def _maybe_frontier(self, batch_np):
+        if (self._frontier_depth and not self._sliced
+                and "unique_ids" in batch_np
+                and "gnn_frontier_ids" not in batch_np):
+            from pytorch_news_recommender_tpu.data.loader import (
+                add_gnn_frontier,
+            )
+            return add_gnn_frontier(batch_np, self.dataset.news.neighbors,
+                                    self._frontier_depth)
+        return batch_np
+
     def run_step(self, state, batch_np, rng):
+        batch_np = self._maybe_frontier(batch_np)
         fn = self.train_step_fn(batch_np)
         shards = self._batch_shardings(batch_np)
         batch = {k: jax.device_put(jnp.asarray(v), shards[k])
@@ -461,6 +483,8 @@ class Trainer:
         chunks made entirely of short news run at the truncated length
         (exact, see ``loader.LengthSplit``) — and scattered back to id order
         with one gather."""
+        if getattr(self.model, "CORPUS_LEVELWISE", False):
+            return self._compute_news_vectors_levelwise(params)
         chunk = self.cfg.train.eval_encode_chunk
         if "encode_chunk" not in self._score_fns:
             def enc(params, ids, news_feats):
@@ -505,6 +529,43 @@ class Trainer:
             outs.append(fn(params, ids, self.news_feats))
         vecs = jnp.concatenate(outs, axis=0)[:n]
         return jnp.take(vecs, inv, axis=0) if inv is not None else vecs
+
+    def _compute_news_vectors_levelwise(self, params) -> jax.Array:
+        """Corpus encode for graph models (``CORPUS_LEVELWISE``): titles once
+        for every news, then one full-table GAT pass per layer — ``1 + L``
+        chunked passes instead of expanding the ``1 + K + ... + K^L`` title
+        subtree per chunk entry (241 title encodes per news at K=15/L=2)."""
+        import functools
+
+        chunk = self.cfg.train.eval_encode_chunk
+        n = self.dataset.news.n_news
+        if "gnn_title_chunk" not in self._score_fns:
+            self._score_fns["gnn_title_chunk"] = jax.jit(
+                lambda p, ids, nf: self.model.apply(
+                    {"params": p}, ids, nf, True,
+                    method="encode_title_ids"))
+            for li in range(int(self.model_cfg.gnn_layers)):
+                self._score_fns[("gnn_gat_chunk", li)] = jax.jit(
+                    functools.partial(
+                        lambda p, ids, T, h, nf, _li: self.model.apply(
+                            {"params": p}, ids, T, h, nf, _li,
+                            method="gat_chunk"),
+                        _li=li))
+
+        def chunked(fn, *extra):
+            outs = []
+            for s in range(0, n, chunk):
+                ids = jnp.arange(s, min(s + chunk, n), dtype=jnp.int32)
+                if ids.shape[0] < chunk:
+                    ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
+                outs.append(fn(params, ids, *extra, self.news_feats))
+            return jnp.concatenate(outs, axis=0)[:n]
+
+        T = chunked(self._score_fns["gnn_title_chunk"])
+        h = T
+        for li in reversed(range(int(self.model_cfg.gnn_layers))):
+            h = chunked(self._score_fns[("gnn_gat_chunk", li)], T, h)
+        return h
 
     def score_from_vecs_fn(self) -> Callable:
         if "score_vecs" not in self._score_fns:
@@ -677,6 +738,8 @@ class Trainer:
                                           cfg.train.batch_size, shuffle_rng,
                                           dedup=cfg.train.dedup_batches,
                                           length_split=self._length_split)
+                if self._frontier_depth:
+                    host_iter = map(self._maybe_frontier, host_iter)
                 batches = device_prefetch(host_iter, self._batch_shardings)
             for batch in batches:
                 fn = self.train_step_fn(batch)

@@ -51,6 +51,9 @@ _SLOW_TESTS = {
     ("test_sharded_embedding", "test_lookup_grad_matches"),
     ("test_pallas_encoder", "test_nrms_pallas_path_matches_jnp"),
     ("test_pallas_sharding", "test_train_step_pallas_mesh_matches_jnp"),
+    ("test_gnn_frontier", "test_frontier_scores_match_recursive"),
+    ("test_gnn_frontier", "test_frontier_grads_match_recursive"),
+    ("test_gnn_frontier", "test_trainer_injects_frontier_and_levelwise_corpus"),
     ("test_pallas_encoder", "test_fused_encoder_backward_matches_reference"),
     ("test_dedup_twotower", "test_train_with_dedup_improves"),
     ("test_dedup_twotower", "test_dedup_scores_match_direct"),
