@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import pathlib
 import sys
 
@@ -83,6 +84,15 @@ def _build_config(args, sample_size=None):
     if getattr(args, "heads", None):
         d["model"]["num_attention_heads"] = args.heads
         d["model"]["user_heads_num"] = args.heads
+    # Validate here, where the flags live: the downstream failure is a bare
+    # divisibility assert deep in the MHSA module (models/layers.py:128),
+    # opaque and stripped under python -O.
+    dd, hh = d["model"]["word_embed_size"], d["model"]["num_attention_heads"]
+    if dd % hh != 0:
+        raise SystemExit(
+            f"error: word embedding dim D={dd} is not divisible by attention "
+            f"heads H={hh}; pass a compatible --heads with --embed-dim "
+            f"(e.g. --embed-dim 384 --heads 6 or --heads 3)")
     if args.batch_size:
         d["train"]["batch_size"] = args.batch_size
     if args.eval_batch_size:
@@ -213,6 +223,13 @@ def cmd_train(args) -> int:
     # does. Single-process runs (no flags, no cluster env) skip it entirely.
     # Replaces the reference's broken --n_GPUs path (run_v0.py:21-22).
     from pytorch_news_recommender_tpu.parallel.distributed import initialize
+    if getattr(args, "no_distributed", False):
+        if any(a is not None for a in (args.coordinator, args.num_processes,
+                                       args.process_id)):
+            raise SystemExit(
+                "error: --no-distributed contradicts the explicit cluster "
+                "flags --coordinator/--num-processes/--process-id")
+        os.environ["NEWSREC_NO_DISTRIBUTED"] = "1"
     if initialize(coordinator_address=args.coordinator,
                   num_processes=args.num_processes,
                   process_id=args.process_id):
@@ -502,6 +519,11 @@ def main(argv=None) -> int:
                    help="total process count (with --coordinator)")
     p.add_argument("--process-id", type=int, default=None,
                    help="this process's rank (with --coordinator)")
+    p.add_argument("--no-distributed", action="store_true",
+                   help="force single-process: skip cluster auto-detection "
+                        "(e.g. a deliberately solo run inside a multi-task "
+                        "SLURM allocation); NEWSREC_NO_DISTRIBUTED=1 is the "
+                        "library-level equivalent")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.set_defaults(fn=cmd_train)

@@ -51,8 +51,17 @@ def cluster_env_detected() -> bool:
     Pure env-var inspection — touches no JAX backend state. Covers the
     launchers ``jax.distributed.initialize()`` can auto-configure from:
     Cloud TPU pods (metadata-provided worker lists), SLURM, Open MPI, and
-    an explicit JAX coordinator address."""
+    an explicit JAX coordinator address.
+
+    ``NEWSREC_NO_DISTRIBUTED=1`` (any non-empty value other than ``0``)
+    vetoes detection: a deliberately single-process run inside e.g. a
+    multi-task SLURM allocation (tasks reserved for other work) would
+    otherwise call ``jax.distributed.initialize()`` and block forever
+    waiting for peers that never connect. The ``train`` CLI exposes this
+    as ``--no-distributed``."""
     env = os.environ
+    if env.get("NEWSREC_NO_DISTRIBUTED", "0") not in ("", "0"):
+        return False
     if env.get("JAX_COORDINATOR_ADDRESS"):
         return True
     hosts = env.get("TPU_WORKER_HOSTNAMES", "")

@@ -33,3 +33,12 @@ def test_batch_and_dtype_flags():
     assert cfg.train.batch_size == 128
     assert cfg.model.compute_dtype == "float32"
     assert cfg.model.use_pallas is False
+
+def test_incompatible_embed_dim_heads_fails_loudly():
+    # ADVICE r3: --embed-dim 384 with default H=10 used to fail much later
+    # via a bare assert in models/layers.py:128.
+    import pytest
+    with pytest.raises(SystemExit, match="--heads"):
+        cli._build_config(_args(data="artifacts", embed_dim=384))  # H=10
+    with pytest.raises(SystemExit, match="not divisible"):
+        cli._build_config(_args(embed_dim=300, heads=7))

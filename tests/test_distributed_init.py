@@ -106,7 +106,7 @@ def test_wrapper_brings_up_two_process_group(tmp_path):
 _CLUSTER_VARS = [
     "JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
     "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_NTASKS", "SLURM_NPROCS",
-    "OMPI_COMM_WORLD_SIZE",
+    "OMPI_COMM_WORLD_SIZE", "NEWSREC_NO_DISTRIBUTED",
 ]
 
 
@@ -140,3 +140,17 @@ def test_cluster_env_detection(monkeypatch, var, value, expect):
     _clear_cluster_env(monkeypatch)
     monkeypatch.setenv(var, value)
     assert distributed.cluster_env_detected() is expect
+
+
+def test_opt_out_vetoes_cluster_env(monkeypatch):
+    # ADVICE r3: a deliberately single-process run inside a multi-task SLURM
+    # allocation must be able to skip auto-detection (which would otherwise
+    # block in jax.distributed.initialize waiting for peers).
+    _clear_cluster_env(monkeypatch)
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert distributed.cluster_env_detected() is True
+    monkeypatch.setenv("NEWSREC_NO_DISTRIBUTED", "1")
+    assert distributed.cluster_env_detected() is False
+    assert distributed.initialize() is False  # no backend touch, no block
+    monkeypatch.setenv("NEWSREC_NO_DISTRIBUTED", "0")  # explicit off
+    assert distributed.cluster_env_detected() is True
