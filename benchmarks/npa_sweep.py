@@ -1,0 +1,85 @@
+"""NPA convergence sweep: lr x warm-up x query-dim grid at battery scale.
+
+Round-3 verdict: NPA was the one family below the learnability bar at the
+battery budget (0.724 AUC @ 3 epochs vs >=0.886 for all other families;
+0.8235 @ 12 epochs) with only one remedy tried. This sweep closes the
+question with measurement: the exact battery protocol of
+``quality_sweep.py`` (same planted dataset seed/sizes, batch 64, 3 epochs)
+over a <=12-point grid. Outcome ships either as a better family default or
+as documented-inherent slow convergence in docs/QUALITY.md.
+
+Run: python benchmarks/npa_sweep.py [--epochs 3] [--out /tmp/npa_sweep.json]
+(CPU; ~15 s per point on the 2-vCPU host.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+# lr x warm-up x query dim — 12 points. Battery default is lr=1e-3,
+# no warm-up, Q=32 (synthetic geometry; quality_sweep.py uses the same).
+GRID = {
+    "lr": (1e-3, 2e-3, 5e-3),
+    "warm_up": (0, 32),       # 0 = off; 32 = one epoch of linear warm-up
+    "query_dim": (32, 64),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/npa_sweep.json")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from pytorch_news_recommender_tpu.config import Config, synthetic_config
+    from pytorch_news_recommender_tpu.data import synthetic
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    base = synthetic_config()
+    # Identical dataset to quality_sweep.py so rows are comparable.
+    ds = synthetic.generate(base.data, seed=7, n_train=2048, n_dev=192,
+                            bert_dim=64, n_users=100, n_neighbors=8,
+                            n_entities=32, entity_dim=16,
+                            title_len=(11.5, 3.5))
+
+    rows = []
+    for lr, wu, qd in itertools.product(*GRID.values()):
+        d = base.to_dict()
+        d["model"]["name"] = "npa"
+        d["model"]["npa_query_dim"] = qd  # personalized-query width, direct
+        d["train"]["batch_size"] = 64
+        d["train"]["learning_rate"] = lr
+        d["train"]["warm_up"] = wu > 0
+        d["train"]["warm_up_steps"] = max(wu, 1)
+        cfg = Config.from_dict(d)
+        t0 = time.time()
+        trainer = Trainer(cfg, ds)
+        state, _ = trainer.fit(num_epochs=args.epochs, eval_each_epoch=False)
+        m = trainer.evaluate(state)
+        row = {"lr": lr, "warm_up_steps": wu, "query_dim": qd,
+               "auc": round(float(m["auc"]), 4),
+               "mrr": round(float(m["mrr"]), 4),
+               "train_s": round(time.time() - t0, 1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    rows.sort(key=lambda r: -r["auc"])
+    pathlib.Path(args.out).write_text(json.dumps(rows, indent=2))
+    best = rows[0]
+    print(f"best: {json.dumps(best)}", file=sys.stderr)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,9 @@ def main():
 
 
     from pytorch_news_recommender_tpu import models as M
-    from pytorch_news_recommender_tpu.config import Config, synthetic_config
+    from pytorch_news_recommender_tpu.config import (
+        Config, apply_family_defaults, synthetic_config,
+    )
     from pytorch_news_recommender_tpu.data import synthetic
     from pytorch_news_recommender_tpu.train.loop import Trainer
 
@@ -49,6 +51,7 @@ def main():
         d = base.to_dict()
         d["model"]["name"] = name
         d["train"]["batch_size"] = 64
+        apply_family_defaults(d)  # shipped per-family hparams (e.g. npa lr)
         cfg = Config.from_dict(d)
         t0 = time.time()
         try:

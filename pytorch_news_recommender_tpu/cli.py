@@ -39,6 +39,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="model family (see `models` command)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--eval-batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="Adam learning rate (default 1e-3 = reference "
+                        "run_v0.py; npa defaults to its swept 2e-2 — "
+                        "see FAMILY_TRAIN_DEFAULTS)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable fused Pallas kernels (pure-XLA path)")
     p.add_argument("--compute-dtype", default=None,
@@ -75,6 +79,11 @@ def _build_config(args, sample_size=None):
     else:
         d = Config().to_dict()
     d["model"]["name"] = args.model
+    from pytorch_news_recommender_tpu.config import apply_family_defaults
+    explicit = {"learning_rate"} if getattr(args, "lr", None) else set()
+    apply_family_defaults(d, explicit)
+    if getattr(args, "lr", None):
+        d["train"]["learning_rate"] = args.lr
     if args.no_pallas:
         d["model"]["use_pallas"] = False
     if args.compute_dtype:

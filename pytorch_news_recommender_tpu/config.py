@@ -95,6 +95,11 @@ class ModelConfig:
     long_short_term_method: str = "ini"  # 'ini' | 'con' (lstur.py:112-142)
     # disan
     disan_hidden: int = 0               # 0 -> word_embed_size
+    # npa: personalized-attention query dim; 0 -> query_vector_dim // 2.
+    # Smaller personalized queries learn markedly faster than the shared
+    # additive-attention dim (benchmarks/npa_sweep.py: halving it moved
+    # battery AUC 0.835 -> 0.898 @ 3 epochs at the swept-best lr).
+    npa_query_dim: int = 0
     # tanr
     topic_loss_weight: float = 0.2      # aux topic-CE weight (TANR lambda)
     # hierec
@@ -381,3 +386,26 @@ PRESETS = {
     "large": large_config,
     "synthetic": synthetic_config,
 }
+
+
+# Per-family training-hparam defaults, applied where the family is CHOSEN
+# (CLI `train`, sweep harnesses) — never silently inside the Trainer, so a
+# library user's explicit Config is always taken literally. Precedent: the
+# reference special-cases list_rank's sample_size=15 at the CLI
+# (run_v0.py:44-45). npa's lr comes from the measured grid in
+# benchmarks/npa_sweep.py: its personalized-attention parameterization
+# learns ~10-20x-lr faster than the shared 1e-3 default (battery AUC
+# 0.724 -> 0.898 @ 3 epochs together with the npa_query_dim halving).
+FAMILY_TRAIN_DEFAULTS: dict = {
+    "npa": {"learning_rate": 2e-2},
+}
+
+
+def apply_family_defaults(d: dict, explicit: set = frozenset()) -> dict:
+    """Overlay ``FAMILY_TRAIN_DEFAULTS[model.name]`` onto config-dict ``d``,
+    skipping any train field named in ``explicit`` (user-passed flags win)."""
+    for field, value in FAMILY_TRAIN_DEFAULTS.get(
+            d.get("model", {}).get("name", ""), {}).items():
+        if field not in explicit:
+            d["train"][field] = value
+    return d

@@ -42,3 +42,13 @@ def test_incompatible_embed_dim_heads_fails_loudly():
         cli._build_config(_args(data="artifacts", embed_dim=384))  # H=10
     with pytest.raises(SystemExit, match="not divisible"):
         cli._build_config(_args(embed_dim=300, heads=7))
+
+def test_npa_family_lr_default_and_override():
+    # npa ships its swept lr (benchmarks/npa_sweep.py) via
+    # FAMILY_TRAIN_DEFAULTS; an explicit --lr always wins.
+    cfg = cli._build_config(_args(model="npa"))
+    assert cfg.train.learning_rate == 2e-2
+    cfg = cli._build_config(_args(model="npa", lr=3e-4))
+    assert cfg.train.learning_rate == 3e-4
+    cfg = cli._build_config(_args(model="nrms"))
+    assert cfg.train.learning_rate == 1e-3  # other families untouched
