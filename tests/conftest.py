@@ -16,6 +16,15 @@ import jax  # noqa: E402  (import after env setup)
 # pin the platform via config too (before any backend initialization).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the fast tier's wall is dominated by XLA
+# compiles, and they repeat identically run-to-run (correctness is jax's
+# contract — entries are keyed by computation hash + jaxlib + flags).
+# Respect an explicit JAX_COMPILATION_CACHE_DIR from the environment.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jaxcache-tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
