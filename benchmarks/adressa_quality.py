@@ -95,7 +95,9 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from pytorch_news_recommender_tpu.config import Config, DataConfig
+    from pytorch_news_recommender_tpu.config import (
+        Config, DataConfig, apply_family_defaults,
+    )
     from pytorch_news_recommender_tpu.data import adressa
     from pytorch_news_recommender_tpu.train.loop import Trainer
     from pytorch_news_recommender_tpu.utils.compile_cache import enable
@@ -122,6 +124,7 @@ def main():
             d["model"]["use_pallas"] = not args.cpu
             d["train"]["batch_size"] = 64
             d["train"]["eval_batch_size"] = 64
+            apply_family_defaults(d)  # shipped per-family hparams (npa lr)
             cfg = Config.from_dict(d)
             t0 = time.time()
             tr = Trainer(cfg, ds)

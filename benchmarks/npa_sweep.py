@@ -10,6 +10,12 @@ as documented-inherent slow convergence in docs/QUALITY.md.
 
 Run: python benchmarks/npa_sweep.py [--epochs 3] [--out /tmp/npa_sweep.json]
 (CPU; ~15 s per point on the 2-vCPU host.)
+
+OUTCOME (round 4, full table in docs/QUALITY.md): lr dominates — monotone
+0.724 @ 1e-3 -> 0.835 @ 2e-2 at Q=32; the half-width personalized query
+adds the rest (Q=16 + lr 2e-2 -> 0.898 @ 3 epochs); warm-up never helped.
+Shipped as FAMILY_TRAIN_DEFAULTS["npa"] (lr 2e-2) +
+ModelConfig.npa_query_dim (0 -> query_vector_dim // 2).
 """
 
 from __future__ import annotations
