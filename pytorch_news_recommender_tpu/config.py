@@ -95,6 +95,9 @@ class ModelConfig:
     long_short_term_method: str = "ini"  # 'ini' | 'con' (lstur.py:112-142)
     # disan
     disan_hidden: int = 0               # 0 -> word_embed_size
+    # fastformer: depth of the additive-attention transformer stack
+    # (paper arXiv:2108.09084 uses 2 for news rec)
+    fastformer_layers: int = 2
     # npa: personalized-attention query dim; 0 -> query_vector_dim // 2.
     # Smaller personalized queries learn markedly faster than the shared
     # additive-attention dim (benchmarks/npa_sweep.py: halving it moved
@@ -398,6 +401,9 @@ PRESETS = {
 # 0.724 -> 0.898 @ 3 epochs together with the npa_query_dim halving).
 FAMILY_TRAIN_DEFAULTS: dict = {
     "npa": {"learning_rate": 2e-2},
+    # battery probe (models/fastformer.py): 0.849 @ shared 1e-3 ->
+    # 0.900 @ 1e-2 (3 epochs, 2 layers); 2e-2 diverges (0.572)
+    "fastformer": {"learning_rate": 1e-2},
 }
 
 

@@ -77,6 +77,7 @@ def _lstur(cfg: ModelConfig) -> nn.Module:
 
 
 from pytorch_news_recommender_tpu.models.disan import DiSANRec
+from pytorch_news_recommender_tpu.models.fastformer import Fastformer
 from pytorch_news_recommender_tpu.models.gnn import GNNRec
 from pytorch_news_recommender_tpu.models.hierec import HieRec
 from pytorch_news_recommender_tpu.models.nrms_entity import NRMSEntity
@@ -114,6 +115,12 @@ def _npa(cfg: ModelConfig) -> nn.Module:
     return NPA(cfg)
 
 
+@register("fastformer")
+def _fastformer(cfg: ModelConfig) -> nn.Module:
+    return Fastformer(cfg)
+
+
 __all__ = ["build_model", "available_models", "register",
            "NRMS", "NAML", "NRMSBert", "ListRank", "LSTUR",
-           "DiSANRec", "HieRec", "GNNRec", "NRMSEntity", "TANR", "NPA"]
+           "DiSANRec", "HieRec", "GNNRec", "NRMSEntity", "TANR", "NPA",
+           "Fastformer"]
