@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--embed-dim", type=int, default=300,
                     help="384 = MXU-aligned preset (DESIGN.md geometry)")
     ap.add_argument("--heads", type=int, default=10)
+    ap.add_argument("--model", default="nrms",
+                    help="model family (shipped FAMILY_TRAIN_DEFAULTS "
+                         "apply, e.g. fastformer lr)")
     args = ap.parse_args()
 
     import jax
@@ -57,10 +60,11 @@ def main():
     enable()
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
 
+    from pytorch_news_recommender_tpu.config import apply_family_defaults
     cfg = Config(
         data=DataConfig(dataset="synthetic"),
         model=ModelConfig(
-            word_embed_size=args.embed_dim,
+            name=args.model, word_embed_size=args.embed_dim,
             num_attention_heads=args.heads, user_heads_num=args.heads,
             query_vector_dim=200, compute_dtype="bfloat16", use_pallas=True,
         ),
@@ -68,6 +72,7 @@ def main():
                           eval_step=args.eval_step, log_every=16,
                           learning_rate=1e-3, auc_checkpoint_floor=0.56),
     )
+    cfg = Config.from_dict(apply_family_defaults(cfg.to_dict()))
     ds = synthetic.generate(cfg.data, seed=0, n_news=50000, vocab_size=45800,
                             n_train=args.n_train, n_dev=args.n_dev,
                             title_len=(11.5, 3.5))

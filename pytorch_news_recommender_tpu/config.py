@@ -95,9 +95,12 @@ class ModelConfig:
     long_short_term_method: str = "ini"  # 'ini' | 'con' (lstur.py:112-142)
     # disan
     disan_hidden: int = 0               # 0 -> word_embed_size
-    # fastformer: depth of the additive-attention transformer stack
-    # (paper arXiv:2108.09084 uses 2 for news rec)
-    fastformer_layers: int = 2
+    # fastformer: depth of the additive-attention transformer stack. The
+    # paper (arXiv:2108.09084) uses 2 for news rec; 1 measures better at
+    # BOTH battery scales here (CPU 0.909 vs 0.900; v5e hardware battery
+    # 0.954 vs 0.826 — the 2-layer stack is unstable early at lr 1e-2 /
+    # batch 512) and is 1.55x faster (30.6 vs 47.5 ms/step) — QUALITY.md.
+    fastformer_layers: int = 1
     # npa: personalized-attention query dim; 0 -> query_vector_dim // 2.
     # Smaller personalized queries learn markedly faster than the shared
     # additive-attention dim (benchmarks/npa_sweep.py: halving it moved
