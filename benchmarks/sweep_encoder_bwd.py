@@ -4,7 +4,8 @@ The forward-only sweep (``sweep_encoder.py``) picked the current defaults;
 the backward kernel has different VMEM pressure (8 scratches, replayed
 forward), so its sweet spot may differ. Slope-method timing.
 
-Run: python benchmarks/sweep_encoder_bwd.py
+Run: python benchmarks/sweep_encoder_bwd.py [--d 300 --heads 10]
+(--d 384 --heads 3 sweeps the MXU-preset geometry.)
 """
 
 import pathlib
@@ -23,7 +24,15 @@ from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
 )
 from pytorch_news_recommender_tpu.utils.compile_cache import enable
 
-M, L, D, H, Q = 12288, 20, 300, 10, 200
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--m", type=int, default=12288)
+_ap.add_argument("--l", type=int, default=20)
+_ap.add_argument("--d", type=int, default=300)
+_ap.add_argument("--heads", type=int, default=10)
+_args = _ap.parse_args()
+M, L, D, H, Q = _args.m, _args.l, _args.d, _args.heads, 200
 
 
 def main():
