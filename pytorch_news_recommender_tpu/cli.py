@@ -431,9 +431,25 @@ def cmd_serve(args) -> int:
 
 
 def cmd_models(args) -> int:
+    import importlib
+
+    from pytorch_news_recommender_tpu.config import FAMILY_TRAIN_DEFAULTS
     from pytorch_news_recommender_tpu.models import available_models
+
     for name in available_models():
-        print(name)
+        try:  # registry names match module names today; stay robust if not
+            mod = importlib.import_module(
+                f"pytorch_news_recommender_tpu.models.{name}")
+            doc = (mod.__doc__ or "").strip().splitlines()
+        except ImportError:
+            doc = []
+        head = doc[0].rstrip(".") if doc else ""
+        tags = []
+        fam = FAMILY_TRAIN_DEFAULTS.get(name)
+        if fam:
+            tags.append("defaults: " + ", ".join(
+                f"{k}={v}" for k, v in fam.items()))
+        print(f"{name:12s} {head}" + (f"  [{'; '.join(tags)}]" if tags else ""))
     return 0
 
 
