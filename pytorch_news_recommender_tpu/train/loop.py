@@ -113,6 +113,18 @@ class Trainer:
             k: jax.device_put(jnp.asarray(v), self._repl)
             for k, v in dataset.news.as_dict().items()
         }
+        # Fail LOUDLY here, where the dataset is chosen, rather than as a
+        # bare KeyError deep inside the first jitted gather: each family
+        # declares the feature tables its news tower consumes.
+        missing = [k for k in getattr(self.model, "FEAT_KEYS", ())
+                   if k not in self.news_feats]
+        if missing:
+            raise ValueError(
+                f"model {self.model_cfg.name!r} needs news feature(s) "
+                f"{missing} that this dataset does not provide (available: "
+                f"{sorted(self.news_feats)}). 'bert' comes from `cli "
+                f"bert-embeds`; 'entity' needs entity embeddings at "
+                f"preprocess time; 'neighbors' needs --graph-neighbors.")
         self._train_step = None
         self._score_fns: Dict[Any, Callable] = {}
         self._state_shardings = None

@@ -46,7 +46,8 @@ _MOSTLY_SLOW = {
     "test_bert_vectors": set(),
     "test_inspect": set(),
     "test_checkpoint_cli": {"test_checkpoint_roundtrip"},
-    "test_train": {"test_pretrained_table_loads_and_wrong_vocab_raises"},
+    "test_train": {"test_pretrained_table_loads_and_wrong_vocab_raises",
+                   "test_missing_news_feature_fails_loudly"},
     "test_sharding": {"test_sharded_train_step_runs"},
 }
 # individually slow tests inside otherwise-fast modules

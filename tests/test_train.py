@@ -260,3 +260,18 @@ def test_pretrained_table_widens_into_larger_embed_dim(cfg, dataset):
     assert emb.shape == (n_words, 128)
     np.testing.assert_allclose(emb[:, :96], narrow, rtol=1e-6)
     np.testing.assert_array_equal(emb[:, 96:], 0.0)
+
+
+def test_missing_news_feature_fails_loudly(cfg, dataset):
+    # `dataset` (the minimal synthetic fixture) has no BERT vectors;
+    # list_rank declares FEAT_KEYS including 'bert'. The Trainer must name
+    # the family and the missing table, not die in a jitted gather.
+    import pytest
+
+    from pytorch_news_recommender_tpu.config import Config
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    d = cfg.to_dict()
+    d["model"]["name"] = "list_rank"
+    with pytest.raises(ValueError, match="list_rank.*bert"):
+        Trainer(Config.from_dict(d), dataset)
