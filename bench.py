@@ -282,8 +282,7 @@ def main(batch: int = 512, skip_baseline: bool = False, refresh: bool = False):
     # docs). Same schema + distinct metric names; each is budget-guarded so
     # a slow compile server degrades to fewer lines, never a dead artifact.
     if jax.default_backend() != "cpu":
-        _secondary_metrics(cfg, ds, trainer, rng, measure, naive_rate,
-                           BATCH)
+        _secondary_metrics(cfg, ds, rng, measure, naive_rate, BATCH)
 
     # ---- kernel correctness gate (cached by kernel-source hash) ----
     # Compiled parity + dropout stats + finite-difference dropout-grad check:
@@ -311,7 +310,7 @@ def main(batch: int = 512, skip_baseline: bool = False, refresh: bool = False):
     _save_cache(cache)
 
 
-def _secondary_metrics(cfg, ds, trainer, rng, measure, naive_rate, BATCH):
+def _secondary_metrics(cfg, ds, rng, measure, naive_rate, BATCH):
     """Measure + print the opt-in configurations as extra JSON lines.
 
     Each is an honest full-train-step measurement on this chip (same
@@ -320,9 +319,6 @@ def _secondary_metrics(cfg, ds, trainer, rng, measure, naive_rate, BATCH):
     (``--embed-dim 384 --heads 3``, ``--freeze-embeddings``, batch 1024 —
     docs/DESIGN.md geometry table; quality-neutral at battery scale, see
     docs/QUALITY.md)."""
-    import jax
-    import jax.numpy as jnp
-
     from pytorch_news_recommender_tpu.config import Config
     from pytorch_news_recommender_tpu.data.loader import train_batches
     from pytorch_news_recommender_tpu.train.loop import Trainer

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--sync", type=int, default=20,
                     help="steps per forced device fetch")
     args = ap.parse_args()
+    if args.steps < 2 * args.sync:
+        ap.error(f"--steps must be >= 2*--sync ({2 * args.sync}) so at "
+                 f"least one post-warm window completes")
 
     import jax
     import jax.numpy as jnp
@@ -87,14 +90,12 @@ def main():
         state = next(it)            # warm (all shapes compiled by caller)
         force(state)
         t0 = time.perf_counter()
-        done = 0
         for i, state in enumerate(it, start=2):
             if i % args.sync == 0:
                 force(state)
                 t1 = time.perf_counter()
                 walls.append((t1 - t0) / args.sync * 1e3)
                 t0 = t1
-                done = i
             if i >= n_steps:
                 break
         walls = np.asarray(walls[1:])   # drop the first window (residual warm)
@@ -102,12 +103,21 @@ def main():
                     p90=float(np.percentile(walls, 90)),
                     mean=float(walls.mean()), n=len(walls))
 
-    # warm every dedup shape once
+    # Warm EVERY shape variant the timed loops will see: a full rng(0)
+    # epoch (stages A/C replay exactly these batches) plus one rng(1)
+    # epoch (stage B's first epoch reproduces it; later B epochs reshuffle
+    # and could in principle mint a new bucket width mid-timing, but the
+    # widths are bucket-quantized so the variant set is tiny). A partial
+    # warm-up ([:8] previously) let a multi-second XLA compile land inside
+    # a timed window (round-4 review finding).
     warm_batches = list(train_batches(ds.train, B, np.random.default_rng(0),
                                       dedup=True,
                                       length_split=trainer._length_split))
+    warm_b1 = list(train_batches(ds.train, B, np.random.default_rng(1),
+                                 dedup=True,
+                                 length_split=trainer._length_split))
     state = trainer.init_state(seed=0)
-    for b in warm_batches[:8]:
+    for b in warm_batches + warm_b1:
         state, _ = trainer.run_step(state, b, rng)
     force(state)
     shapes = sorted({(b["unique_ids"].shape[0] if "unique_ids" in b else -1,
@@ -139,7 +149,7 @@ def main():
                 yield state
 
     state = trainer.init_state(seed=1)
-    for b in warm_batches[:8]:
+    for b in warm_batches[:4]:   # shapes already compiled; settle allocator
         state, _ = trainer.run_step(state, b, rng)
     rB = windows(lambda s: run_B(s), state, args.steps)
     log(f"B production pipeline            : {rB}")
@@ -157,7 +167,7 @@ def main():
                 yield state
 
     state = trainer.init_state(seed=2)
-    for b in warm_batches[:8]:
+    for b in warm_batches[:4]:   # shapes already compiled; settle allocator
         state, _ = trainer.run_step(state, b, rng)
     rC = windows(lambda s: run_C(s), state, args.steps)
     log(f"C pipeline, assembly removed     : {rC}")

@@ -80,10 +80,12 @@ def _build_config(args, sample_size=None):
         d = Config().to_dict()
     d["model"]["name"] = args.model
     from pytorch_news_recommender_tpu.config import apply_family_defaults
-    explicit = {"learning_rate"} if getattr(args, "lr", None) else set()
-    apply_family_defaults(d, explicit)
-    if getattr(args, "lr", None):
-        d["train"]["learning_rate"] = args.lr
+    # `is not None`, not truthiness: --lr 0.0 is an explicit user value and
+    # must win over family defaults (review finding r4).
+    lr = getattr(args, "lr", None)
+    apply_family_defaults(d, {"learning_rate"} if lr is not None else set())
+    if lr is not None:
+        d["train"]["learning_rate"] = lr
     if args.no_pallas:
         d["model"]["use_pallas"] = False
     if args.compute_dtype:

@@ -281,10 +281,19 @@ class AttentionPoolTower(nn.Module):
             # the kernel MUST run under shard_map over the data axis — an
             # unwrapped pallas_call is opaque to the SPMD partitioner, which
             # silently replicates it (all-gathers the [M, L, D] block).
-            # make_mesh always puts the data axis first (parallel/mesh.py).
+            # Resolve the axis by its configured NAME (registered alongside
+            # the mesh by the Trainer — a caller-supplied mesh need not put
+            # the data axis first); fall back to the leading axis only when
+            # the registered name is absent from this mesh.
+            from pytorch_news_recommender_tpu.parallel.sharded_embedding import (
+                active_data_axis,
+            )
             mesh = active_mesh()
-            data_axis = (mesh.axis_names[0]
-                         if mesh is not None and mesh.size > 1 else None)
+            data_axis = None
+            if mesh is not None and mesh.size > 1:
+                name = active_data_axis()
+                data_axis = (name if name in mesh.axis_names
+                             else mesh.axis_names[0])
             out = fused_news_encoder_diff(
                 x2.astype(cd), mask2,
                 wqkv.astype(cd), bqkv.astype(cd), wo.astype(cd),

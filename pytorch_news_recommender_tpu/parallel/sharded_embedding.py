@@ -54,14 +54,23 @@ except (ImportError, AttributeError):  # pragma: no cover
 # registered mesh (serving, plain jit tests) every schedule falls back to
 # the auto path.
 _ACTIVE_MESH: list = [None]
+_ACTIVE_DATA_AXIS: list = ["data"]
 
 
-def set_active_mesh(mesh: Mesh | None) -> None:
+def set_active_mesh(mesh: Mesh | None, data_axis: str = "data") -> None:
     _ACTIVE_MESH[0] = mesh
+    _ACTIVE_DATA_AXIS[0] = data_axis
 
 
 def active_mesh() -> Mesh | None:
     return _ACTIVE_MESH[0]
+
+
+def active_data_axis() -> str:
+    """The batch axis NAME of the registered mesh (MeshConfig.data_axis) —
+    consumers must resolve the axis by name, never by position (a
+    caller-supplied mesh need not put it first)."""
+    return _ACTIVE_DATA_AXIS[0]
 
 
 def sharded_embedding_lookup(

@@ -105,7 +105,7 @@ class Trainer:
         from pytorch_news_recommender_tpu.parallel.sharded_embedding import (
             set_active_mesh,
         )
-        set_active_mesh(self.mesh)
+        set_active_mesh(self.mesh, data_axis=cfg.mesh.data_axis)
         self._repl = replicated(self.mesh)
         self._batch_shard = batch_sharding(self.mesh, cfg.mesh)
         # Device-resident feature tables (uploaded once, replicated).
@@ -138,7 +138,9 @@ class Trainer:
         self._frontier_depth = 0
         if (getattr(self.model, "WANTS_GNN_FRONTIER", False)
                 and dataset.news.neighbors is not None):
-            self._frontier_depth = int(self.model_cfg.gnn_layers)
+            # effective GAT depth: the model always builds max(1, L)
+            # layers (models/gnn.py), so depth here must match
+            self._frontier_depth = max(1, int(self.model_cfg.gnn_layers))
         # Multi-process SPMD feed: every process holds the full dataset and
         # computes the same shuffled permutation; each feeds only its slice
         # of every global batch (loader.train_batches_sliced) and the slices
@@ -556,7 +558,7 @@ class Trainer:
                 lambda p, ids, nf: self.model.apply(
                     {"params": p}, ids, nf, True,
                     method="encode_title_ids"))
-            for li in range(int(self.model_cfg.gnn_layers)):
+            for li in range(max(1, int(self.model_cfg.gnn_layers))):
                 self._score_fns[("gnn_gat_chunk", li)] = jax.jit(
                     functools.partial(
                         lambda p, ids, T, h, nf, _li: self.model.apply(
@@ -575,7 +577,9 @@ class Trainer:
 
         T = chunked(self._score_fns["gnn_title_chunk"])
         h = T
-        for li in reversed(range(int(self.model_cfg.gnn_layers))):
+        # reversed: apply the innermost layer first, like node_repr's
+        # gat_layers[len - depth] recursion; max(1, L) matches the model
+        for li in reversed(range(max(1, int(self.model_cfg.gnn_layers)))):
             h = chunked(self._score_fns[("gnn_gat_chunk", li)], T, h)
         return h
 

@@ -52,3 +52,6 @@ def test_npa_family_lr_default_and_override():
     assert cfg.train.learning_rate == 3e-4
     cfg = cli._build_config(_args(model="nrms"))
     assert cfg.train.learning_rate == 1e-3  # other families untouched
+    # --lr 0.0 is an explicit value, not "unset" (falsy-zero review finding)
+    cfg = cli._build_config(_args(model="npa", lr=0.0))
+    assert cfg.train.learning_rate == 0.0

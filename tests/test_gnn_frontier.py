@@ -127,3 +127,26 @@ def test_trainer_injects_frontier_and_levelwise_corpus(cfg, full_dataset):
                          method="encode_news_ids")
     np.testing.assert_allclose(np.asarray(vecs), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_levelwise_corpus_matches_recursive_at_zero_layers(cfg, full_dataset):
+    """gnn_layers=0: the model still builds one GAT layer (max(1, L),
+    models/gnn.py) — the level-wise corpus encode and the frontier depth
+    must use the same effective depth, or eval silently scores with
+    GAT-free vectors (round-4 review finding)."""
+    from pytorch_news_recommender_tpu.config import Config
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    d = cfg.to_dict()
+    d["model"]["name"] = "gnn"
+    d["model"]["gnn_layers"] = 0
+    tr = Trainer(Config.from_dict(d), full_dataset)
+    assert tr._frontier_depth == 1  # matches len(model.gat_layers)
+    state = tr.init_state(seed=0)
+    vecs = tr.compute_news_vectors(state.params)
+    n = full_dataset.news.n_news
+    ids = jnp.arange(n, dtype=jnp.int32)
+    ref = tr.model.apply({"params": state.params}, ids, tr.news_feats, True,
+                         method="encode_news_ids")
+    np.testing.assert_allclose(np.asarray(vecs), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
