@@ -90,9 +90,18 @@ def _build_config(args, sample_size=None):
         d["model"]["use_pallas"] = False
     if args.compute_dtype:
         d["model"]["compute_dtype"] = args.compute_dtype
-    if getattr(args, "embed_dim", None):
+    # `is not None` + explicit positivity, matching the --lr handling: a
+    # falsy 0 must be rejected loudly, not silently ignored (advisor r4).
+    for flag, attr in (("--embed-dim", "embed_dim"), ("--heads", "heads"),
+                       ("--batch-size", "batch_size"),
+                       ("--eval-batch-size", "eval_batch_size")):
+        v = getattr(args, attr, None)
+        if v is not None and v <= 0:
+            raise SystemExit(f"error: {flag} must be a positive integer, "
+                             f"got {v}")
+    if getattr(args, "embed_dim", None) is not None:
         d["model"]["word_embed_size"] = args.embed_dim
-    if getattr(args, "heads", None):
+    if getattr(args, "heads", None) is not None:
         d["model"]["num_attention_heads"] = args.heads
         d["model"]["user_heads_num"] = args.heads
     # Validate here, where the flags live: the downstream failure is a bare
@@ -104,9 +113,9 @@ def _build_config(args, sample_size=None):
             f"error: word embedding dim D={dd} is not divisible by attention "
             f"heads H={hh}; pass a compatible --heads with --embed-dim "
             f"(e.g. --embed-dim 384 --heads 6 or --heads 3)")
-    if args.batch_size:
+    if args.batch_size is not None:
         d["train"]["batch_size"] = args.batch_size
-    if args.eval_batch_size:
+    if args.eval_batch_size is not None:
         d["train"]["eval_batch_size"] = args.eval_batch_size
     d["mesh"]["model_parallel_size"] = args.model_parallel
     if sample_size is not None:

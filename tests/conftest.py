@@ -20,9 +20,15 @@ jax.config.update("jax_platforms", "cpu")
 # compiles, and they repeat identically run-to-run (correctness is jax's
 # contract — entries are keyed by computation hash + jaxlib + flags).
 # Respect an explicit JAX_COMPILATION_CACHE_DIR from the environment.
+# Default to a per-user path: a fixed world-shared /tmp location may be owned
+# by another user on multi-user hosts (advisor r4).
+import getpass  # noqa: E402
+import tempfile  # noqa: E402
+
+_default_cache = os.path.join(
+    tempfile.gettempdir(), f"jaxcache-tests-{getpass.getuser()}")
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/jaxcache-tests"))
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
