@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import pathlib
-from typing import Any
+from typing import Any, Optional
 
 
 def _asdict(obj: Any) -> Any:
@@ -195,6 +195,14 @@ class TrainConfig:
     # Encode each distinct news in a batch once (most history slots are pad
     # or repeated news) instead of per slot like the reference.
     dedup_batches: bool = True
+    # Host-feed bucket grids (None = the loader's defaults,
+    # ``loader.DEFAULT_UNIQUE_BUCKETS`` / ``loader.GNN_FRONTIER_BUCKETS``):
+    # the static widths the dedup unique buffer and the GNN frontier
+    # closure are padded to. Exposed so tiny-scale runs (tests, the driver
+    # dryrun — production grids start at 1024/2048 and would fall back to
+    # direct form there) and pod-scale tuning can size them.
+    unique_buckets: Optional[tuple[int, ...]] = None
+    gnn_frontier_buckets: Optional[tuple[int, ...]] = None
     # Eval via cached news vectors (two-tower) when the model supports it,
     # instead of re-encoding up to 300 candidates per impression.
     eval_two_tower: bool = True

@@ -15,7 +15,29 @@ from pytorch_news_recommender_tpu.data.loader import (
     add_gnn_frontier,
     dedup_batch,
     train_batches,
+    train_batches_sliced,
 )
+
+
+def assemble_sliced_global(data, batch_size, seed, n_proc, **kw):
+    """Run ``train_batches_sliced`` for every simulated process with the
+    same shared permutation and concatenate the per-process blocks into the
+    global batch a multi-process run would assemble on device — plus the
+    matching RAW global batch for the reference path."""
+    outs = [next(train_batches_sliced(
+        data, batch_size, np.random.default_rng(seed),
+        process_index=h, process_count=n_proc, **kw))
+        for h in range(n_proc)]
+    raw = next(train_batches(data, batch_size, np.random.default_rng(seed)))
+    keys = outs[0].keys()
+    assert all(o.keys() == keys for o in outs)
+    glob = {}
+    for k in keys:
+        if k.endswith("_mark"):
+            glob[k] = outs[0][k]   # replicated shape marker
+        else:
+            glob[k] = np.concatenate([o[k] for o in outs], axis=0)
+    return glob, raw, outs
 
 
 def _gnn(cfg, full_dataset):
@@ -127,6 +149,101 @@ def test_trainer_injects_frontier_and_levelwise_corpus(cfg, full_dataset):
                          method="encode_news_ids")
     np.testing.assert_allclose(np.asarray(vecs), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sliced_frontier_blocks_match_recursive(cfg, full_dataset):
+    """Multi-host form of the frontier dedup (round-5 gate): per-process
+    closure blocks with globally agreed widths and ``process_index * F``
+    position offsets must score and backprop identically to the recursive
+    path on the same global rows."""
+    from pytorch_news_recommender_tpu.train.loop import softmax_ce_loss
+
+    model, model_cfg, params, news_feats, _ = _gnn(cfg, full_dataset)
+    nb = full_dataset.news.neighbors
+    glob, raw, outs = assemble_sliced_global(
+        full_dataset.train, 16, seed=7, n_proc=2, dedup=True,
+        unique_buckets=(64, 128, 256),
+        gnn_neighbors=nb, gnn_depth=model_cfg.gnn_layers,
+        gnn_buckets=(128, 256, 512, 1024))
+    assert "gnn_frontier_ids" in glob, "frontier form must be active"
+    # block structure: each process's block keeps the pad news at its local
+    # slot 0 and equal (agreed) widths
+    F = outs[0]["gnn_frontier_ids"].shape[0]
+    W = outs[0]["unique_ids"].shape[0]
+    assert outs[1]["gnn_frontier_ids"].shape[0] == F
+    assert outs[1]["unique_ids"].shape[0] == W
+    for h, o in enumerate(outs):
+        assert o["gnn_frontier_ids"][0] == 0
+        # positions live inside the process's own block
+        assert o["gnn_nbr_pos"].min() >= h * F
+        assert o["gnn_nbr_pos"].max() < (h + 1) * F
+        assert o["gnn_self_pos"].min() >= h * F
+        assert o["gnn_self_pos"].max() < (h + 1) * F
+        # self positions decode back to the block's unique ids
+        np.testing.assert_array_equal(
+            glob["gnn_frontier_ids"][o["gnn_self_pos"]], o["unique_ids"])
+
+    db = dedup_batch(raw, buckets=(64, 128, 256))
+    assert "unique_ids" in db
+
+    def loss(p, b):
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        return softmax_ce_loss(model.apply({"params": p}, b, news_feats,
+                                           deterministic=True))
+
+    s_ref = model.apply({"params": params},
+                        {k: jnp.asarray(v) for k, v in db.items()},
+                        news_feats, deterministic=True)
+    s_sl = model.apply({"params": params},
+                       {k: jnp.asarray(v) for k, v in glob.items()},
+                       news_feats, deterministic=True)
+    np.testing.assert_allclose(np.asarray(s_sl), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    g_ref = jax.grad(lambda p: loss(p, db))(params)
+    g_sl = jax.grad(lambda p: loss(p, glob))(params)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_s = jax.tree_util.tree_leaves(g_sl)
+    scale = max(float(np.max(np.abs(np.asarray(a)))) for _, a in flat_r)
+    for (path, a), b in zip(flat_r, flat_s):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) / scale
+        assert err < 5e-4, (jax.tree_util.keystr(path), err)
+
+
+def test_sliced_fit_uses_frontier(cfg, full_dataset):
+    """Trainer.fit with ``sliced_feed`` routes GNN batches through the
+    loader's frontier path (no recursive fallback) when the configured
+    buckets fit the scale."""
+    from pytorch_news_recommender_tpu.config import Config
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    d = cfg.to_dict()
+    d["model"]["name"] = "gnn"
+    d["train"]["sliced_feed"] = True
+    d["train"]["batch_size"] = 16
+    d["train"]["num_epochs"] = 1
+    d["train"]["eval_step"] = 0
+    d["train"]["unique_buckets"] = [64, 128, 256]
+    d["train"]["gnn_frontier_buckets"] = [128, 256, 512, 1024]
+    d["train"]["log_every"] = 1
+    tr = Trainer(Config.from_dict(d), full_dataset)
+    assert tr._sliced and tr._frontier_depth
+
+    # the loader must emit frontier-form batches on this path
+    from pytorch_news_recommender_tpu.data.loader import train_batches_sliced
+    b0 = next(train_batches_sliced(
+        full_dataset.train, 16, np.random.default_rng(0),
+        dedup=True, unique_buckets=(64, 128, 256),
+        gnn_neighbors=full_dataset.news.neighbors,
+        gnn_depth=tr._frontier_depth, gnn_buckets=(128, 256, 512, 1024)))
+    assert "gnn_frontier_ids" in b0
+
+    state = tr.init_state(seed=0)
+    log = []
+    state, _ = tr.fit(state, log_fn=lambda rec: log.append(rec),
+                      eval_each_epoch=False)
+    assert int(state.step) > 0
+    assert all(np.isfinite(rec["loss"]) for rec in log if "loss" in rec)
 
 
 def test_levelwise_corpus_matches_recursive_at_zero_layers(cfg, full_dataset):

@@ -35,21 +35,45 @@ jax.distributed.initialize(
 )
 import dataclasses
 import numpy as np
-from pytorch_news_recommender_tpu.config import synthetic_config
+from pytorch_news_recommender_tpu.config import Config, synthetic_config
 from pytorch_news_recommender_tpu.data import synthetic
 from pytorch_news_recommender_tpu.train.loop import Trainer
 
 assert jax.process_count() == int(sys.argv[2]), jax.process_count()
 assert len(jax.devices()) == 8, jax.devices()
 
-cfg = synthetic_config()
-cfg = dataclasses.replace(
-    cfg, train=dataclasses.replace(
-        cfg.train, batch_size=16, eval_batch_size=8, num_epochs=1,
-        dedup_batches=True, eval_step=0, log_every=1))
-ds = synthetic.generate(cfg.data, seed=3, n_train=96, n_dev=24)
+model = sys.argv[5] if len(sys.argv) > 5 else "nrms"
+d = synthetic_config().to_dict()
+d["train"].update(batch_size=16, eval_batch_size=8, num_epochs=1,
+                  dedup_batches=True, eval_step=0, log_every=1)
+gen_kw = {}
+if model == "gnn":
+    d["model"]["name"] = "gnn"
+    # buckets sized so dedup + frontier form are ACTIVE at this tiny scale
+    d["train"]["unique_buckets"] = [64, 128, 256]
+    d["train"]["gnn_frontier_buckets"] = [128, 256, 512, 1024]
+    # dropout off: the 1-process comparison run packs ONE frontier block
+    # per batch (different buffer shapes -> different dropout streams);
+    # zeroing it isolates the layout-parity question being tested
+    d["model"]["dropout"] = 0.0
+    gen_kw = dict(n_neighbors=8, n_users=50)
+cfg = Config.from_dict(d)
+ds = synthetic.generate(cfg.data, seed=3, n_train=96, n_dev=24, **gen_kw)
 tr = Trainer(cfg, ds)
 assert tr._sliced and tr.n_proc == int(sys.argv[2])
+
+frontier_on = False
+if model == "gnn":
+    # the sliced feed must emit frontier-form batches (round-5 gate:
+    # multi-host GNN keeps the closure dedup, loader.train_batches_sliced)
+    from pytorch_news_recommender_tpu.data.loader import train_batches_sliced
+    probe = next(train_batches_sliced(
+        ds.train, cfg.train.batch_size, np.random.default_rng(0),
+        process_index=jax.process_index(), process_count=tr.n_proc,
+        dedup=True, unique_buckets=tuple(d["train"]["unique_buckets"]),
+        gnn_neighbors=ds.news.neighbors, gnn_depth=tr._frontier_depth,
+        gnn_buckets=tuple(d["train"]["gnn_frontier_buckets"])))
+    frontier_on = "gnn_frontier_ids" in probe
 state = tr.init_state(seed=0)
 log = []
 state, _ = tr.fit(state, log_fn=lambda d: log.append(d),
@@ -75,10 +99,11 @@ except Exception as e:
 
 out = {
     "process": jax.process_index(),
-    "losses": [round(d["loss"], 6) for d in log if "loss" in d],
+    "losses": [round(r["loss"], 6) for r in log if "loss" in r],
     "auc": round(m["auc"], 6),
     "n_impressions": m["n_impressions"],
     "ckpt_ok": ckpt_ok,
+    "frontier_on": frontier_on,
 }
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -92,7 +117,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_fit_matches_single_process(tmp_path):
+def _run_workers(tmp_path, model="nrms"):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -107,7 +132,7 @@ def test_two_process_fit_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, "2", str(pid),
-             str(ckpt_dir)],
+             str(ckpt_dir), model],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True)
         for pid in range(2)
@@ -124,6 +149,11 @@ def test_two_process_fit_matches_single_process(tmp_path):
                 r = json.loads(line[len("RESULT "):])
                 results[r["process"]] = r
     assert set(results) == {0, 1}, (results, errs)
+    return results, errs
+
+
+def test_two_process_fit_matches_single_process(tmp_path):
+    results, errs = _run_workers(tmp_path)
 
     # both processes computed identical losses and metrics (SPMD lockstep)
     assert results[0]["losses"] == results[1]["losses"]
@@ -159,4 +189,47 @@ def test_two_process_fit_matches_single_process(tmp_path):
     np.testing.assert_allclose(results[0]["losses"], single_losses,
                                rtol=5e-4, atol=1e-5)
     assert results[0]["n_impressions"] == m["n_impressions"]
+    assert abs(results[0]["auc"] - m["auc"]) < 5e-3
+
+
+def test_two_process_gnn_frontier_fit(tmp_path):
+    """Round-5 gate, real multi-process leg: a 2-OS-process GNN fit runs in
+    FRONTIER form (per-process closure blocks from the sliced feed — no
+    silent recursive fallback), in SPMD lockstep, and matches a
+    single-process sliced run of the same global computation."""
+    results, errs = _run_workers(tmp_path, model="gnn")
+
+    # both processes saw frontier-form batches and computed identical losses
+    assert results[0]["frontier_on"] and results[1]["frontier_on"], results
+    assert results[0]["losses"] == results[1]["losses"]
+    assert len(results[0]["losses"]) > 0
+    assert results[0]["auc"] == results[1]["auc"]
+
+    # single-process sliced run of the same config: one frontier block per
+    # batch instead of two half-blocks; losses agree to float tolerance
+    from pytorch_news_recommender_tpu.config import Config, synthetic_config
+    from pytorch_news_recommender_tpu.data import synthetic
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    d = synthetic_config().to_dict()
+    d["model"]["name"] = "gnn"
+    d["model"]["dropout"] = 0.0   # see the worker's gnn branch
+    d["train"].update(batch_size=16, eval_batch_size=8, num_epochs=1,
+                      dedup_batches=True, eval_step=0, log_every=1,
+                      sliced_feed=True,
+                      unique_buckets=[64, 128, 256],
+                      gnn_frontier_buckets=[128, 256, 512, 1024])
+    cfg = Config.from_dict(d)
+    ds = synthetic.generate(cfg.data, seed=3, n_train=96, n_dev=24,
+                            n_neighbors=8, n_users=50)
+    tr = Trainer(cfg, ds)
+    assert tr._frontier_depth
+    state = tr.init_state(seed=0)
+    log = []
+    state, _ = tr.fit(state, log_fn=lambda rec: log.append(rec),
+                      eval_each_epoch=False)
+    m = tr.evaluate(state)
+    single_losses = [round(rec["loss"], 6) for rec in log if "loss" in rec]
+    np.testing.assert_allclose(results[0]["losses"], single_losses,
+                               rtol=5e-4, atol=1e-5)
     assert abs(results[0]["auc"] - m["auc"]) < 5e-3
