@@ -55,7 +55,7 @@ def chip_peaks(kind: str):
     return None
 
 
-def fmt_row(name, ms, gflop, gbytes, peaks):
+def fmt_row(name, ms, gflop, gbytes, peaks, gflop_padded=None):
     tf = gflop / ms  # GFLOP / ms == TFLOP/s
     gbs = gbytes / ms * 1e3
     if peaks:
@@ -65,6 +65,13 @@ def fmt_row(name, ms, gflop, gbytes, peaks):
         bound = "compute" if gflop / pf >= gbytes / pb * 1e3 else "memory"
         extra = (f"  light {light_ms:6.2f} ms ({bound}-bound)"
                  f"  -> {pct:5.1f}% of light")
+        if gflop_padded is not None:
+            # hardware-inclusive bound: the MXU must process the PADDED
+            # operand tiles (lane/contraction quantization to 128), so this
+            # is the fastest any schedule of THIS kernel's matmuls could go
+            pad_ms = max(gflop_padded / pf, gbytes / pb * 1e3)
+            extra += (f"  | padded-MXU light {pad_ms:5.2f} ms "
+                      f"-> {100.0 * pad_ms / ms:5.1f}%")
     else:
         extra = ""
     log(f"{name:<34} {ms:8.2f} ms  {tf:7.1f} TF/s  {gbs:7.0f} GB/s{extra}")
@@ -122,13 +129,44 @@ def main():
     # activations in/out + params once (weights stream from HBM per grid pass)
     enc_bytes = (T * D * 2 * 2 + (3 * D * D + D * D + D * Q) * 2) / 1e9  # GB
 
+    # ---- PADDED-MXU counts: the flops the systolic array actually has to
+    # process for THIS kernel's matmul schedule, with every contraction and
+    # output-lane dim quantized to the 128-wide tile (sublane/batch dims
+    # stream). Includes the implementation's segment-indicator pooling
+    # matmuls and the pairwise-mask dot, which the useful count excludes.
+    # The ratio padded/useful IS the geometry's padding tax; the residual
+    # above the padded bound is VPU work (softmax/exp/mask/dropout) +
+    # scratch staging, which geometry does not change.
+    from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
+        _block_geometry,
+    )
+    pad = lambda v: -(-v // 128) * 128
+    BM, P, SUB = _block_geometry(L)
+    R = BM * L
+    nsub_tot = T // SUB               # subtiles across the whole batch
+    enc_flops_padded = (
+        2 * T * pad(D) * pad(3 * D)                 # QKV
+        + H * nsub_tot * 2 * SUB * pad(dh) * pad(SUB)   # scores (qk^T)
+        + H * nsub_tot * 2 * SUB * pad(SUB) * pad(dh)   # PV
+        + nsub_tot * 2 * SUB * 128 * pad(SUB)       # pairwise mask m@m^T
+        + 2 * T * pad(D) * pad(D)                   # output projection
+        + 2 * T * pad(D) * pad(Q)                   # additive aw
+        + 2 * T * pad(Q) * 128                      # additive aq ([R,Q]@[Q,1])
+        + (T // R) * (2 * BM * pad(R) * pad(D)      # pooling num [BM,R]@[R,D]
+                      + 2 * BM * pad(R) * 128)      # pooling den [BM,R]@[R,1]
+    ) / 1e9
+
     @jax.jit
     def enc_fwd(x, mask):
         return fused_news_encoder(
             x, mask, p["wqkv"], p["bqkv"], p["wo"], p["bo"], p["aw"],
             p["ab"], p["aq"], num_heads=H, dropout_rate=0.0)
     ms, _ = timeit(enc_fwd, x, mask, fetch=lambda o: np.asarray(o[:1, :1]))
-    fmt_row(f"fused encoder fwd (M={M})", ms, enc_flops, enc_bytes, peaks)
+    fmt_row(f"fused encoder fwd (M={M})", ms, enc_flops, enc_bytes, peaks,
+            gflop_padded=enc_flops_padded)
+    log(f"  padding tax (padded/useful MXU flops): "
+        f"{enc_flops_padded / enc_flops:.2f}x at D={D}/H={H} "
+        f"(geometry: BM={BM} P={P} SUB={SUB})")
 
     @jax.jit
     def enc_grad(x, mask):
@@ -139,8 +177,10 @@ def main():
                 dropout_rate=0.2, seed=7).astype(jnp.float32))
         return jax.grad(loss)(x)
     ms, _ = timeit(enc_grad, x, mask, fetch=lambda o: np.asarray(o[:1, :1, :1]))
-    # bwd ~= 2x fwd flops (dx and dw matmuls) + fwd recompute of o1 chain
-    fmt_row("fused encoder fwd+bwd", ms, 3 * enc_flops, 3 * enc_bytes, peaks)
+    # bwd ~= 2x fwd flops (dx and dw matmuls) + fwd recompute of o1 chain;
+    # the same 3x scaling applies to the padded schedule
+    fmt_row("fused encoder fwd+bwd", ms, 3 * enc_flops, 3 * enc_bytes, peaks,
+            gflop_padded=3 * enc_flops_padded)
 
     # ---- embedding gather + scatter ----
     table = jax.random.normal(key, (V, D), jnp.float32)
