@@ -66,6 +66,7 @@ _SLOW_TESTS = {
     ("test_sharded_embedding", "test_a2a_pad_slots_never_count_as_dropped"),
     ("test_sharded_embedding", "test_lookup_grad_matches"),
     ("test_pallas_encoder", "test_nrms_pallas_path_matches_jnp"),
+    ("test_pallas_encoder", "test_interpret_dropout_grads_match_host_mask"),
     ("test_pallas_sharding", "test_train_step_pallas_mesh_matches_jnp"),
     ("test_gnn_frontier", "test_frontier_scores_match_recursive"),
     ("test_gnn_frontier", "test_frontier_grads_match_recursive"),
