@@ -143,17 +143,22 @@ def main():
     pad = lambda v: -(-v // 128) * 128
     BM, P, SUB = _block_geometry(L)
     R = BM * L
-    nsub_tot = T // SUB               # subtiles across the whole batch
+    # counts built from the PADDED news count (ceil to whole grid blocks) —
+    # that is what the array actually processes when M % BM != 0
+    M_pad = -(-M // BM) * BM
+    T_pad = M_pad * L
+    nsub_tot = T_pad // SUB           # subtiles across the whole batch
+    grid = M_pad // BM
     enc_flops_padded = (
-        2 * T * pad(D) * pad(3 * D)                 # QKV
+        2 * T_pad * pad(D) * pad(3 * D)                 # QKV
         + H * nsub_tot * 2 * SUB * pad(dh) * pad(SUB)   # scores (qk^T)
         + H * nsub_tot * 2 * SUB * pad(SUB) * pad(dh)   # PV
-        + nsub_tot * 2 * SUB * 128 * pad(SUB)       # pairwise mask m@m^T
-        + 2 * T * pad(D) * pad(D)                   # output projection
-        + 2 * T * pad(D) * pad(Q)                   # additive aw
-        + 2 * T * pad(Q) * 128                      # additive aq ([R,Q]@[Q,1])
-        + (T // R) * (2 * BM * pad(R) * pad(D)      # pooling num [BM,R]@[R,D]
-                      + 2 * BM * pad(R) * 128)      # pooling den [BM,R]@[R,1]
+        + nsub_tot * 2 * SUB * 128 * pad(SUB)           # pairwise mask m@m^T
+        + 2 * T_pad * pad(D) * pad(D)                   # output projection
+        + 2 * T_pad * pad(D) * pad(Q)                   # additive aw
+        + 2 * T_pad * pad(Q) * 128                      # additive aq
+        + grid * (2 * BM * pad(R) * pad(D)       # pooling num [BM,R]@[R,D]
+                  + 2 * BM * pad(R) * 128)       # pooling den [BM,R]@[R,1]
     ) / 1e9
 
     @jax.jit

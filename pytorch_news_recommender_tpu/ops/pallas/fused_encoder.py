@@ -36,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# Per-shard dropout-seed stride used by the shard_mapped kernel's
+# ``_fold_seed`` (seed + axis_index * SHARD_SEED_STRIDE). Exported so tests
+# and the driver dryrun replicate shard streams without copy-pasting the
+# constant.
+SHARD_SEED_STRIDE = 1_000_003
+
 
 def _interp_dropout_bits(seed_val, R: int, D: int):
     """Counter-based uniform bits for INTERPRET-mode dropout: a murmur3-
@@ -685,7 +691,7 @@ def _make_sharded_diff_encoder(mesh, axis, num_heads, dropout_rate,
 
     def _fold_seed(seed):
         return seed + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
-            1_000_003)
+            SHARD_SEED_STRIDE)
 
     w_specs = (P(),) * 7  # wqkv, bqkv, wo, bo, aw, ab, aq
 

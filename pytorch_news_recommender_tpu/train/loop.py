@@ -742,13 +742,13 @@ class Trainer:
             log(m)
             return m
 
+        from pytorch_news_recommender_tpu.data.loader import (
+            DEFAULT_UNIQUE_BUCKETS,
+        )
         from pytorch_news_recommender_tpu.data.prefetch import device_prefetch
 
+        ub = cfg.train.unique_buckets or DEFAULT_UNIQUE_BUCKETS
         for epoch in range(epochs):
-            from pytorch_news_recommender_tpu.data.loader import (
-                DEFAULT_UNIQUE_BUCKETS,
-            )
-            ub = cfg.train.unique_buckets or DEFAULT_UNIQUE_BUCKETS
             if self._sliced:
                 # multi-process feed: this process's slice of each global
                 # batch, assembled into global arrays (see __init__ note).

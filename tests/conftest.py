@@ -21,12 +21,13 @@ jax.config.update("jax_platforms", "cpu")
 # contract — entries are keyed by computation hash + jaxlib + flags).
 # Respect an explicit JAX_COMPILATION_CACHE_DIR from the environment.
 # Default to a per-user path: a fixed world-shared /tmp location may be owned
-# by another user on multi-user hosts (advisor r4).
-import getpass  # noqa: E402
+# by another user on multi-user hosts (advisor r4). Env-var fallback to uid:
+# getpass.getuser() raises for passwd-less container UIDs (review r5).
 import tempfile  # noqa: E402
 
-_default_cache = os.path.join(
-    tempfile.gettempdir(), f"jaxcache-tests-{getpass.getuser()}")
+_user = (os.environ.get("USER") or os.environ.get("LOGNAME")
+         or f"uid{os.getuid()}")
+_default_cache = os.path.join(tempfile.gettempdir(), f"jaxcache-tests-{_user}")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

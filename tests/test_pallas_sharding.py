@@ -121,6 +121,7 @@ def test_sharded_kernel_dropout_per_shard_streams():
     masks baked in (fwd applies them AND bwd regenerates them
     bit-identically), and (b) the streams are DISTINCT across shards."""
     from pytorch_news_recommender_tpu.ops.pallas.fused_encoder import (
+        SHARD_SEED_STRIDE,
         host_dropout_keep,
     )
 
@@ -136,10 +137,10 @@ def test_sharded_kernel_dropout_per_shard_streams():
     ws = _params(rng, D, Q)
 
     # per-shard masks: shard s sees rows [s*M/n, (s+1)*M/n) with seed
-    # seed + s * 1_000_003 (_make_sharded_diff_encoder._fold_seed)
+    # seed + s * SHARD_SEED_STRIDE (_make_sharded_diff_encoder._fold_seed)
     M_loc = M // n
-    shard_keeps = [host_dropout_keep(seed + s * 1_000_003, M_loc, L, D, rate)
-                   for s in range(n)]
+    shard_keeps = [host_dropout_keep(seed + s * SHARD_SEED_STRIDE,
+                                     M_loc, L, D, rate) for s in range(n)]
     for a, b in zip(shard_keeps, shard_keeps[1:]):
         assert not np.array_equal(a, b), "shard streams must be distinct"
     keep = jnp.asarray(np.concatenate(shard_keeps, axis=0))
