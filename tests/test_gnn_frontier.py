@@ -244,6 +244,10 @@ def test_sliced_fit_uses_frontier(cfg, full_dataset):
                       eval_each_epoch=False)
     assert int(state.step) > 0
     assert all(np.isfinite(rec["loss"]) for rec in log if "loss" in rec)
+    # the fit loop itself compiled FRONTIER-form steps (a loader-level
+    # probe alone could pass while fit silently fell back to recursive)
+    step_keys = tr._score_fns["_steps"].keys()
+    assert any("gnn_frontier_ids" in k for k in step_keys), list(step_keys)
 
 
 def test_levelwise_corpus_matches_recursive_at_zero_layers(cfg, full_dataset):

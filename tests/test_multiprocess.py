@@ -97,6 +97,13 @@ try:
 except Exception as e:
     print("CKPT_ERROR " + repr(e), flush=True)
 
+if model == "gnn":
+    # the fit loop itself must have compiled FRONTIER-form steps (the
+    # loader probe above could pass while fit silently fell back)
+    step_keys = tr._score_fns["_steps"].keys()
+    frontier_on = frontier_on and any("gnn_frontier_ids" in k
+                                      for k in step_keys)
+
 out = {
     "process": jax.process_index(),
     "losses": [round(r["loss"], 6) for r in log if "loss" in r],
