@@ -200,7 +200,10 @@ def test_train_step_pallas_mesh_matches_jnp(cfg):
                                  title_len=(11, 4))
 
     d = cfg.to_dict()
-    d["model"]["dropout"] = 0.0   # interpret-mode TPU PRNG is stubbed on CPU
+    # dropout=0 because the jnp leg's nn.Dropout draws a DIFFERENT stream
+    # than the kernel's counter-hash PRNG; the dropout path itself is
+    # covered by test_sharded_kernel_dropout_per_shard_streams above
+    d["model"]["dropout"] = 0.0
     d["mesh"]["model_parallel_size"] = 2
     d_pl = {**d, "model": dict(d["model"], use_pallas=True,
                                pallas_interpret=True)}
