@@ -141,6 +141,19 @@ class Trainer:
             # effective GAT depth: the model always builds max(1, L)
             # layers (models/gnn.py), so depth here must match
             self._frontier_depth = max(1, int(self.model_cfg.gnn_layers))
+            if not cfg.train.dedup_batches:
+                # the frontier closure attaches only to DEDUP-form batches;
+                # without them the model falls back to the recursive
+                # 1+K+...+K^depth expansion, which at MIND scale does not
+                # even compile (measured round 5: the 2.76M-title graph
+                # crashes the compiler) — warn loudly up front
+                import sys
+                print(
+                    "WARNING: GNN family with dedup_batches=False — the "
+                    "frontier-closure dedup only applies to dedup-form "
+                    "batches; the recursive neighborhood expansion is "
+                    "infeasible at production scale. Set "
+                    "TrainConfig.dedup_batches=True.", file=sys.stderr)
         # Multi-process SPMD feed: every process holds the full dataset and
         # computes the same shuffled permutation; each feeds only its slice
         # of every global batch (loader.train_batches_sliced) and the slices
