@@ -246,3 +246,41 @@ class RecModel(nn.Module):
         cand_vecs = jnp.take(news_vecs, cand_ids, axis=0)
         return self.score_impression(batch, browsed_ids, cand_ids,
                                      browsed_vecs, cand_vecs, news_feats, True)
+
+
+def corpus_encode_levelwise(model, n_layers: int, params, news_feats: Batch,
+                            chunk: int) -> jax.Array:
+    """Whole-corpus news vectors for a ``CORPUS_LEVELWISE`` family (GNN):
+    titles once for every news, then one full-table GAT pass per layer —
+    ``1 + L`` chunked passes instead of expanding the ``1 + K + ... + K^L``
+    title subtree per news (which does not even compile at a 50k corpus,
+    BASELINE.md round-5). Shared by ``Trainer.compute_news_vectors`` (eval)
+    and ``serve.Recommender`` (corpus-cache bring-up)."""
+    n = int(news_feats["title"].shape[0])
+    title_fn = jax.jit(lambda p, ids: model.apply(
+        {"params": p}, ids, news_feats, True, method="encode_title_ids"))
+    gat_fns = [
+        jax.jit(functools.partial(
+            lambda p, ids, T, h, _li: model.apply(
+                {"params": p}, ids, T, h, news_feats, _li,
+                method="gat_chunk"),
+            _li=li))
+        for li in range(max(1, n_layers))
+    ]
+
+    def chunked(fn, *extra):
+        outs = []
+        for s in range(0, n, chunk):
+            ids = jnp.arange(s, min(s + chunk, n), dtype=jnp.int32)
+            if ids.shape[0] < chunk:
+                ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
+            outs.append(fn(params, ids, *extra))
+        return jnp.concatenate(outs, axis=0)[:n]
+
+    T = chunked(title_fn)
+    h = T
+    # deepest layer first — the same per-depth assignment as the recursive
+    # node_repr (models/gnn.py)
+    for li in reversed(range(max(1, n_layers))):
+        h = chunked(gat_fns[li], T, h)
+    return h

@@ -201,8 +201,25 @@ class GNNRec(RecModel):
 
     def encode_news_feats(self, feats: Batch,
                           deterministic: bool = True) -> jax.Array:
-        # feature-only path (no graph context): title tower alone
-        return self.news_encoder(feats["title"], deterministic)
+        """Feature-only path (fresh-news ingestion,
+        ``serve.Recommender.encode_new_news``): the item is encoded as an
+        ISOLATED node — title tower, then the GAT stack over an empty
+        neighborhood (all-masked aggregate; the gates pass the self
+        vector). This matches the corpus levelwise encode of a node whose
+        neighbor row is all-pad, so an ingested vector is consistent with
+        the cached corpus table. A feature dict cannot carry the
+        neighbors' OWN titles, so graph context is by definition
+        unavailable here; edges appear at the next offline graph rebuild.
+        Any ``neighbors`` ids present in ``feats`` are deliberately
+        ignored (the serve flow passes the all-pad row)."""
+        T = self.news_encoder(feats["title"], deterministic)
+        K = max(1, int(self.cfg.gnn_neighbors))
+        zeros = jnp.zeros(T.shape[:-1] + (K, T.shape[-1]), T.dtype)
+        mask = jnp.zeros(T.shape[:-1] + (K,), jnp.float32)
+        h = T
+        for layer in reversed(self.gat_layers):
+            h = layer(T, zeros, mask)
+        return h
 
     def score_impression(self, batch, browsed_ids, cand_ids, browsed_vecs,
                          cand_vecs, news_feats=None,

@@ -104,6 +104,16 @@ class Recommender:
             if n_file != n:
                 raise ValueError(f"vectors_file has {n_file} rows, dataset "
                                  f"has {n} news")
+        elif getattr(self.model, "CORPUS_LEVELWISE", False):
+            # graph families: titles once + one GAT pass per layer over the
+            # full table — the per-chunk recursive expansion does not even
+            # compile at production corpus scale (BASELINE.md round-5)
+            from pytorch_news_recommender_tpu.models.common import (
+                corpus_encode_levelwise,
+            )
+            vecs = corpus_encode_levelwise(
+                self.model, max(1, int(self.model_cfg.gnn_layers)), params,
+                self.news_feats, cfg.train.eval_encode_chunk)[:n]
         else:
             # encode the whole corpus once
             chunk = cfg.train.eval_encode_chunk
@@ -362,6 +372,14 @@ class Recommender:
         ent = np.zeros(d.entity_nums, np.int32)
         ent[:len(eids)] = eids
         out["entity"] = ent
+        if "neighbors" in self.news_feats:
+            # graph families: a fresh item has no co-click edges yet, and
+            # the all-pad neighborhood is the exact representation of that
+            # (the GAT layers gate an empty aggregate; GNNRec's
+            # encode_news_feats matches the corpus encode for an isolated
+            # node). Edges appear at the next offline graph rebuild.
+            K = int(self.news_feats["neighbors"].shape[1])
+            out["neighbors"] = np.zeros(K, np.int32)
         return out
 
     def encode_new_news(self, title: str, abstract: str = "",

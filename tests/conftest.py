@@ -82,6 +82,8 @@ _SLOW_TESTS = {
     ("test_lstur_warmup", "test_lstur_con_variant"),
     ("test_models", "test_freeze_word_embeddings"),
     ("test_mind", "test_fresh_news_ingestion"),
+    ("test_mind", "test_fresh_news_gnn_isolated_node"),
+    ("test_serve", "test_gnn_serve_corpus_levelwise_matches_trainer"),
     ("test_length_split", "test_split_grads_match_direct"),
     ("test_length_split", "test_trainer_enables_split_and_learns"),
     ("test_length_split", "test_auto_layouts_handles_shape_variants"),

@@ -374,3 +374,59 @@ def test_end_to_end_training(mind_dirs, cfg):
     assert np.isfinite(float(metrics["loss"]))
     m = trainer.evaluate(state)
     assert 0.0 <= m["auc"] <= 1.0
+
+
+def test_fresh_news_gnn_isolated_node(mind_dirs, cfg):
+    """GNN fresh-news ingestion: a fresh item has no co-click edges, so
+    tokenization emits the all-pad ``neighbors`` row and the ingested
+    vector equals the corpus levelwise encode of an ISOLATED node (title
+    tower through the GAT gates with an empty aggregate)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pytorch_news_recommender_tpu.config import synthetic_config
+    from pytorch_news_recommender_tpu.serve import Recommender
+    from pytorch_news_recommender_tpu.train.loop import Trainer
+
+    ds = mind.build_dataset(cfg, mind_dirs / "train", mind_dirs / "dev",
+                            glove_path=mind_dirs / "glove.txt",
+                            word_embed_size=4, news_graph_neighbors=2)
+    assert ds.news.neighbors is not None
+    base = synthetic_config()
+    full = dataclasses.replace(
+        base,
+        data=dataclasses.replace(cfg, eval_buckets=(4, 8)),
+        model=dataclasses.replace(base.model, name="gnn", word_embed_size=4,
+                                  num_attention_heads=2, user_heads_num=2),
+        train=dataclasses.replace(base.train, batch_size=3,
+                                  eval_batch_size=2),
+    )
+    trainer = Trainer(full, ds)
+    state = trainer.init_state(seed=0)
+    rec = Recommender(full, ds, state.params, candidate_widths=(4, 8))
+
+    rows = rec.tokenize_new_news("Election game tonight", category="news")
+    assert "neighbors" in rows and not rows["neighbors"].any()
+
+    vec = rec.encode_new_news("Election game tonight", category="news")
+    # reference: append the fresh title to the tables with an all-pad
+    # neighbor row and run the model's recursive id encode on it
+    N = ds.news.n_news
+    titles = jnp.concatenate(
+        [jnp.asarray(ds.news.title), jnp.asarray(rows["title"])[None]], 0)
+    neigh = jnp.concatenate(
+        [jnp.asarray(ds.news.neighbors),
+         jnp.zeros((1, ds.news.neighbors.shape[1]), jnp.int32)], 0)
+    feats2 = dict(trainer.news_feats, title=titles, neighbors=neigh)
+    ref = trainer.model.apply(
+        {"params": state.params}, jnp.asarray([N]), feats2, True,
+        method="encode_news_ids")
+    np.testing.assert_allclose(vec, np.asarray(ref)[0], rtol=2e-4, atol=2e-4)
+
+    nid = rec.add_news("Election game tonight", category="news")
+    assert nid == N and rec.n_news == N + 1
+    # all-pad neighbor row landed in the resident table; scoring works
+    assert not np.asarray(rec.news_feats["neighbors"][nid]).any()
+    s = rec.score([1, 2], [nid, 1])
+    assert s.shape == (2,) and np.all(np.isfinite(s))

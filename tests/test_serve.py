@@ -335,3 +335,36 @@ def test_vectors_file_roundtrip(served, tmp_path):
     np.savez(bad, news_vectors=vecs[:-1])
     with pytest.raises(ValueError):
         Recommender(cfg, ds, state.params, vectors_file=str(bad))
+
+
+def test_gnn_serve_corpus_levelwise_matches_trainer():
+    """GNN corpus-cache bring-up uses the levelwise encode (the recursive
+    per-chunk expansion does not compile at production corpus scale); the
+    served table must match Trainer.compute_news_vectors and the scores
+    must match the model's direct forward."""
+    import jax.numpy as jnp
+
+    from pytorch_news_recommender_tpu.config import synthetic_config
+    from pytorch_news_recommender_tpu.data import synthetic
+
+    base = synthetic_config()
+    d = base.to_dict()
+    d["model"]["name"] = "gnn"
+    cfg = Config.from_dict(d)
+    ds = synthetic.generate(cfg.data, seed=9, n_train=96, n_dev=16,
+                            n_neighbors=4)
+    trainer = Trainer(cfg, ds)
+    state = trainer.init_state(seed=0)
+    rec = Recommender(cfg, ds, state.params, candidate_widths=(4, 8))
+
+    ref = np.asarray(trainer.compute_news_vectors(state.params))
+    np.testing.assert_allclose(np.asarray(rec.news_vecs), ref,
+                               rtol=2e-4, atol=2e-4)
+
+    s = rec.score([1, 2, 3], [4, 5, 6])
+    batch = {"browsed_ids": jnp.asarray(rec._pad_history([1, 2, 3]))[None],
+             "candidate_ids": jnp.asarray([[4, 5, 6, 0]])}
+    direct = trainer.model.apply({"params": state.params}, batch,
+                                 trainer.news_feats, deterministic=True)
+    np.testing.assert_allclose(s, np.asarray(direct)[0, :3],
+                               rtol=2e-3, atol=2e-3)
