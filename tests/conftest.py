@@ -73,6 +73,7 @@ _SLOW_TESTS = {
     ("test_gnn_frontier", "test_frontier_grads_match_recursive"),
     ("test_gnn_frontier", "test_trainer_injects_frontier_and_levelwise_corpus"),
     ("test_gnn_frontier", "test_sliced_frontier_blocks_match_recursive"),
+    ("test_gnn_frontier", "test_sliced_frontier_three_processes"),
     ("test_gnn_frontier", "test_sliced_fit_uses_frontier"),
     ("test_pallas_encoder", "test_fused_encoder_backward_matches_reference"),
     ("test_dedup_twotower", "test_train_with_dedup_improves"),

@@ -210,6 +210,31 @@ def test_sliced_frontier_blocks_match_recursive(cfg, full_dataset):
         assert err < 5e-4, (jax.tree_util.keystr(path), err)
 
 
+def test_sliced_frontier_three_processes(cfg, full_dataset):
+    """Non-power-of-2 process count: the width agreement and the
+    ``process_index * F`` offsets hold for P=3 too (scores match the
+    recursive path on the same global rows)."""
+    model, model_cfg, params, news_feats, _ = _gnn(cfg, full_dataset)
+    glob, raw, outs = assemble_sliced_global(
+        full_dataset.train, 18, seed=11, n_proc=3, dedup=True,
+        unique_buckets=(64, 128, 256),
+        gnn_neighbors=full_dataset.news.neighbors,
+        gnn_depth=model_cfg.gnn_layers,
+        gnn_buckets=(128, 256, 512, 1024))
+    assert "gnn_frontier_ids" in glob
+    F = outs[0]["gnn_frontier_ids"].shape[0]
+    assert all(o["gnn_frontier_ids"].shape[0] == F for o in outs)
+    db = dedup_batch(raw, buckets=(64, 128, 256))
+    s_ref = model.apply({"params": params},
+                        {k: jnp.asarray(v) for k, v in db.items()},
+                        news_feats, deterministic=True)
+    s_sl = model.apply({"params": params},
+                       {k: jnp.asarray(v) for k, v in glob.items()},
+                       news_feats, deterministic=True)
+    np.testing.assert_allclose(np.asarray(s_sl), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_sliced_fit_uses_frontier(cfg, full_dataset):
     """Trainer.fit with ``sliced_feed`` routes GNN batches through the
     loader's frontier path (no recursive fallback) when the configured
