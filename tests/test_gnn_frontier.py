@@ -296,3 +296,45 @@ def test_levelwise_corpus_matches_recursive_at_zero_layers(cfg, full_dataset):
                          method="encode_news_ids")
     np.testing.assert_allclose(np.asarray(vecs), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sliced_frontier_invariants_fuzz(full_dataset):
+    """Numpy-only fuzz of the per-process frontier block invariants over
+    random process counts / batch sizes / depths: equal agreed widths,
+    positions confined to the owner's block, self-positions decode to the
+    block's unique ids, and neighbor positions decode to in-closure
+    neighbors (out-of-closure masked to the pad news)."""
+    nb = full_dataset.news.neighbors
+    rng = np.random.default_rng(0)
+    for trial in range(6):
+        P = int(rng.integers(1, 5))
+        per = int(rng.integers(4, 10))
+        bs = P * per
+        depth = int(rng.integers(1, 3))
+        outs = [next(train_batches_sliced(
+            full_dataset.train, bs, np.random.default_rng(100 + trial),
+            process_index=h, process_count=P, dedup=True,
+            unique_buckets=(32, 64, 128, 256),
+            gnn_neighbors=nb, gnn_depth=depth,
+            gnn_buckets=(64, 128, 256, 512, 1024))) for h in range(P)]
+        if "gnn_frontier_ids" not in outs[0]:
+            continue   # direct form chosen globally — also agreed
+        F = outs[0]["gnn_frontier_ids"].shape[0]
+        fids_glob = np.concatenate([o["gnn_frontier_ids"] for o in outs])
+        for h, o in enumerate(outs):
+            assert o["gnn_frontier_ids"].shape[0] == F, (trial, h)
+            assert o["gnn_frontier_ids"][0] == 0
+            lo, hi = h * F, (h + 1) * F
+            assert lo <= o["gnn_self_pos"].min() <= o["gnn_self_pos"].max() < hi
+            assert lo <= o["gnn_nbr_pos"].min() <= o["gnn_nbr_pos"].max() < hi
+            np.testing.assert_array_equal(
+                fids_glob[o["gnn_self_pos"]], o["unique_ids"])
+            # neighbor decode: true neighbor when in closure, else pad 0
+            fids = o["gnn_frontier_ids"]
+            present = np.zeros(nb.shape[0], bool)
+            present[fids] = True
+            decoded = fids_glob[o["gnn_nbr_pos"]]
+            true_nbr = nb[fids]
+            expect = np.where(present[true_nbr], true_nbr, 0)
+            expect[fids == 0] = 0
+            np.testing.assert_array_equal(decoded, expect, err_msg=str((trial, h)))

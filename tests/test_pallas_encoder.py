@@ -240,3 +240,24 @@ def test_nrms_pallas_path_matches_jnp(cfg, dataset):
         a, b = np.asarray(a), np.asarray(b)
         err = np.max(np.abs(a - b)) / global_scale
         assert err < 5e-3, (jax.tree_util.keystr(path), err)
+
+
+def test_interpret_dropout_bits_statistics():
+    """The counter-hash PRNG must be unbiased enough that interpret-mode
+    dropout applies ~the configured rate (a biased hash would silently
+    change the effective dropout in every off-hardware test): keep-rate
+    within 1% absolute at p=0.3, and no gross row/column structure."""
+    rate, R, D = 0.3, 960, 128
+    keep = host_dropout_keep(123, R // 20, 20, D, rate)  # [M, L, D] bool
+    flat = keep.reshape(-1, D)
+    overall = flat.mean()
+    assert abs(overall - (1 - rate)) < 0.01, overall
+    # per-row and per-column keep rates stay in a tight band (binomial
+    # std at n=128 is ~0.04; allow 5 sigma)
+    assert np.all(np.abs(flat.mean(axis=1) - (1 - rate)) < 0.21)
+    assert np.all(np.abs(flat.mean(axis=0) - (1 - rate)) < 0.08)
+    # different seeds decorrelate
+    keep2 = host_dropout_keep(124, R // 20, 20, D, rate)
+    agree = (keep == keep2).mean()
+    expect = (1 - rate) ** 2 + rate ** 2   # independent-stream agreement
+    assert abs(agree - expect) < 0.02, agree
