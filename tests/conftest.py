@@ -62,6 +62,7 @@ _SLOW_TESTS = {
     ("test_mind", "test_end_to_end_training"),
     ("test_mind", "test_mesh_add_news_growth"),
     ("test_mind_parity", "test_smoke_chain_and_resume"),
+    ("test_mind_parity", "test_smoke_family_sweep"),
     ("test_sharded_embedding", "test_a2a_lookup_matches_take"),
     ("test_sharded_embedding", "test_a2a_overflow_detected_never_corrupts"),
     ("test_sharded_embedding", "test_a2a_pad_slots_never_count_as_dropped"),

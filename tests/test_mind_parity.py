@@ -100,3 +100,26 @@ def test_zip_layout_and_env_autodetect(tmp_path, monkeypatch):
 
     # a large-only request must not match the small layout
     assert harness.find_splits(root, "large") is None
+
+
+@pytest.mark.parametrize("family", ["npa", "fastformer"])
+def test_smoke_family_sweep(mind_root, tmp_path, capsys, family):
+    """The standing parity order includes one-epoch runs of the
+    battery-calibrated families (`--model npa|fastformer`, QUALITY.md
+    scoping note); the harness chain must work for them end-to-end —
+    family defaults (e.g. npa's lr) apply through the CLI."""
+    harness = _load_harness()
+    work = tmp_path / f"run_{family}"
+    argv = ["--mind-root", str(mind_root),
+            "--glove", str(mind_root.parent / "glove.txt"),
+            "--workdir", str(work), "--smoke", "--no-pallas",
+            "--model", family,
+            "--batch-size", "2", "--history-len", "6",
+            "--min-history", "3", "--sample-size", "2",
+            "--word-freq-threshold", "2"]
+    assert harness.main(argv) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    verdict = json.loads(out[-1])
+    assert verdict["metric"] == "dev_auc"
+    assert 0.0 <= verdict["value"] <= 1.0
+    assert verdict["model"] == family
