@@ -70,6 +70,7 @@ _SLOW_TESTS = {
     ("test_pallas_encoder", "test_nrms_pallas_path_matches_jnp"),
     ("test_pallas_encoder", "test_interpret_dropout_grads_match_host_mask"),
     ("test_pallas_sharding", "test_train_step_pallas_mesh_matches_jnp"),
+    ("test_pallas_sharding", "test_sharded_kernel_dropout_per_shard_streams"),
     ("test_gnn_frontier", "test_frontier_scores_match_recursive"),
     ("test_gnn_frontier", "test_frontier_grads_match_recursive"),
     ("test_gnn_frontier", "test_trainer_injects_frontier_and_levelwise_corpus"),
