@@ -351,8 +351,13 @@ def train_batches_sliced(
         yield out
 
 
+# Finer steps near the top: closures saturate toward the corpus size on
+# dense graphs, and a coarse last rung bills dead title encodes for the
+# whole pad — at a 50k corpus (closure 50001) the 49152->65536 jump cost a
+# measured 22% of GNN step time vs landing on 53248 (v5e, K=15, batch 512:
+# 263.6 -> 215.8 ms/step). The extra rungs compile only when hit.
 GNN_FRONTIER_BUCKETS = (2048, 4096, 8192, 12288, 16384, 24576, 32768,
-                        49152, 65536)
+                        40960, 49152, 53248, 57344, 61440, 65536)
 
 
 def _frontier_closure(uids: np.ndarray, neighbors: np.ndarray,
