@@ -102,8 +102,11 @@ def main():
     log(f"device: {kind}  peaks: {peaks and f'{peaks[0]} bf16 TFLOP/s, {peaks[1]} GB/s HBM'}")
 
     B = args.batch
-    # measured dedup width is ~12288 unique news at batch 512; scale
-    # proportionally (rounded up to the kernel's 256-row grid block)
+    # representative dedup width at batch 512 (u~8.3k lands on the 9216
+    # rung of the round-5 ladder; 12288 kept here for cross-round
+    # comparability of the absolute ms — the %-of-light numbers are
+    # per-row and M-independent); scale proportionally (rounded up to the
+    # kernel's 256-row grid block)
     M = -(-12288 * B // 512) // 256 * 256 or 256
     L, D, Q, H = 20, args.embed_dim, 200, args.heads
     assert D % H == 0, (D, H)
