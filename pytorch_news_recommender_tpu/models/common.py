@@ -249,24 +249,31 @@ class RecModel(nn.Module):
 
 
 def corpus_encode_levelwise(model, n_layers: int, params, news_feats: Batch,
-                            chunk: int) -> jax.Array:
+                            chunk: int, fn_cache: dict | None = None
+                            ) -> jax.Array:
     """Whole-corpus news vectors for a ``CORPUS_LEVELWISE`` family (GNN):
     titles once for every news, then one full-table GAT pass per layer —
     ``1 + L`` chunked passes instead of expanding the ``1 + K + ... + K^L``
     title subtree per news (which does not even compile at a 50k corpus,
-    BASELINE.md round-5). Shared by ``Trainer.compute_news_vectors`` (eval)
-    and ``serve.Recommender`` (corpus-cache bring-up)."""
+    BASELINE.md round-5). The SINGLE implementation behind both
+    ``Trainer.compute_news_vectors`` (eval — passes its ``_score_fns`` as
+    ``fn_cache`` so the jitted passes persist across evals) and
+    ``serve.Recommender`` (one-shot corpus-cache bring-up). The jitted
+    functions close over ``news_feats``, so a reused ``fn_cache`` must
+    belong to the same table set."""
+    cache = fn_cache if fn_cache is not None else {}
+    L = max(1, n_layers)
+    if "lw_title_chunk" not in cache:
+        cache["lw_title_chunk"] = jax.jit(lambda p, ids: model.apply(
+            {"params": p}, ids, news_feats, True, method="encode_title_ids"))
+        for li in range(L):
+            cache[("lw_gat_chunk", li)] = jax.jit(functools.partial(
+                lambda p, ids, T, h, _li: model.apply(
+                    {"params": p}, ids, T, h, news_feats, _li,
+                    method="gat_chunk"),
+                _li=li))
+
     n = int(news_feats["title"].shape[0])
-    title_fn = jax.jit(lambda p, ids: model.apply(
-        {"params": p}, ids, news_feats, True, method="encode_title_ids"))
-    gat_fns = [
-        jax.jit(functools.partial(
-            lambda p, ids, T, h, _li: model.apply(
-                {"params": p}, ids, T, h, news_feats, _li,
-                method="gat_chunk"),
-            _li=li))
-        for li in range(max(1, n_layers))
-    ]
 
     def chunked(fn, *extra):
         outs = []
@@ -277,10 +284,10 @@ def corpus_encode_levelwise(model, n_layers: int, params, news_feats: Batch,
             outs.append(fn(params, ids, *extra))
         return jnp.concatenate(outs, axis=0)[:n]
 
-    T = chunked(title_fn)
+    T = chunked(cache["lw_title_chunk"])
     h = T
     # deepest layer first — the same per-depth assignment as the recursive
     # node_repr (models/gnn.py)
-    for li in reversed(range(max(1, n_layers))):
-        h = chunked(gat_fns[li], T, h)
+    for li in reversed(range(L)):
+        h = chunked(cache[("lw_gat_chunk", li)], T, h)
     return h

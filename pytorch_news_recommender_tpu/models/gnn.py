@@ -216,10 +216,12 @@ class GNNRec(RecModel):
         K = max(1, int(self.cfg.gnn_neighbors))
         zeros = jnp.zeros(T.shape[:-1] + (K, T.shape[-1]), T.dtype)
         mask = jnp.zeros(T.shape[:-1] + (K,), jnp.float32)
-        h = T
-        for layer in reversed(self.gat_layers):
-            h = layer(T, zeros, mask)
-        return h
+        # For an isolated node every level collapses to gate(T, 0)*T with
+        # only the OUTERMOST layer's gate surviving (deeper levels feed
+        # exclusively through the masked-out aggregate), so a single
+        # gat_layers[0] application IS the exact levelwise result — do not
+        # "chain" layers here, that would misread as message passing.
+        return self.gat_layers[0](T, zeros, mask)
 
     def score_impression(self, batch, browsed_ids, cand_ids, browsed_vecs,
                          cand_vecs, news_feats=None,

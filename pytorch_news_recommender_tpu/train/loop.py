@@ -564,43 +564,19 @@ class Trainer:
         return jnp.take(vecs, inv, axis=0) if inv is not None else vecs
 
     def _compute_news_vectors_levelwise(self, params) -> jax.Array:
-        """Corpus encode for graph models (``CORPUS_LEVELWISE``): titles once
-        for every news, then one full-table GAT pass per layer — ``1 + L``
-        chunked passes instead of expanding the ``1 + K + ... + K^L`` title
-        subtree per chunk entry (241 title encodes per news at K=15/L=2)."""
-        import functools
-
-        chunk = self.cfg.train.eval_encode_chunk
-        n = self.dataset.news.n_news
-        if "gnn_title_chunk" not in self._score_fns:
-            self._score_fns["gnn_title_chunk"] = jax.jit(
-                lambda p, ids, nf: self.model.apply(
-                    {"params": p}, ids, nf, True,
-                    method="encode_title_ids"))
-            for li in range(max(1, int(self.model_cfg.gnn_layers))):
-                self._score_fns[("gnn_gat_chunk", li)] = jax.jit(
-                    functools.partial(
-                        lambda p, ids, T, h, nf, _li: self.model.apply(
-                            {"params": p}, ids, T, h, nf, _li,
-                            method="gat_chunk"),
-                        _li=li))
-
-        def chunked(fn, *extra):
-            outs = []
-            for s in range(0, n, chunk):
-                ids = jnp.arange(s, min(s + chunk, n), dtype=jnp.int32)
-                if ids.shape[0] < chunk:
-                    ids = jnp.pad(ids, (0, chunk - ids.shape[0]))
-                outs.append(fn(params, ids, *extra, self.news_feats))
-            return jnp.concatenate(outs, axis=0)[:n]
-
-        T = chunked(self._score_fns["gnn_title_chunk"])
-        h = T
-        # reversed: apply the innermost layer first, like node_repr's
-        # gat_layers[len - depth] recursion; max(1, L) matches the model
-        for li in reversed(range(max(1, int(self.model_cfg.gnn_layers)))):
-            h = chunked(self._score_fns[("gnn_gat_chunk", li)], T, h)
-        return h
+        """Corpus encode for graph models (``CORPUS_LEVELWISE``): delegates
+        to the single shared implementation
+        (``models.common.corpus_encode_levelwise`` — also the serving
+        bring-up path, so eval and serve stay bit-identical by
+        construction); ``_score_fns`` carries the jitted passes across
+        evals."""
+        from pytorch_news_recommender_tpu.models.common import (
+            corpus_encode_levelwise,
+        )
+        return corpus_encode_levelwise(
+            self.model, max(1, int(self.model_cfg.gnn_layers)), params,
+            self.news_feats, self.cfg.train.eval_encode_chunk,
+            fn_cache=self._score_fns)
 
     def score_from_vecs_fn(self) -> Callable:
         if "score_vecs" not in self._score_fns:
